@@ -1,0 +1,393 @@
+"""Isosurface ray-march renderer producing 12-channel G-buffers.
+
+This is the TPU-native re-design of the reference's entire native renderer
+layer: the CUDA kernel `custom_iso_kernel` + GVDB node traversal
+(`GPURendererDirect/render_kernel.cu:159-266`, `cuda_gvdb_raycast.cuh:504`)
+and the CPU OpenVDB tracer (`CPURenderer/IsoVolumeRayTracer.h`).
+
+Design differences from the reference (capabilities identical):
+
+* All rays march in lock-step as one big vectorized program (pixels are the
+  vector lanes) instead of one CUDA thread per pixel.  Divergent ray lengths
+  are handled by masking plus a chunked `lax.while_loop` that terminates when
+  every ray has either hit or left the volume.
+* Empty-space skipping uses the brick min/max pyramid of
+  :class:`~isosurfacesuperresolution_tpu.volume.grid.BrickGrid` - the analogue
+  of GVDB's hierarchical DDA - but stays on the fixed sampling lattice
+  (t = t_start + k * step) so skipping never changes the rendered result,
+  only the speed.
+* The march samples on the same lattice as the reference
+  (`t.x = SCN_PSTEP * ceil(t.x / SCN_PSTEP)`, `render_kernel.cu:165`) and
+  refines hits with the same binary search (10 steps to the closest sample
+  *outside* the isosurface, `render_kernel.cu:176-187`).
+
+Everything here is pure jnp and jit-friendly; the Pallas kernel in
+`raycast_pallas.py` accelerates the same computation per image tile.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from isosurfacesuperresolution_tpu.config import RenderConfig
+from isosurfacesuperresolution_tpu.render.camera import CameraParams, project
+from isosurfacesuperresolution_tpu.volume.grid import BrickGrid
+
+
+# ---------------------------------------------------------------------------
+# Core march
+# ---------------------------------------------------------------------------
+
+def _ray_box_range(origin_vox: jnp.ndarray, dirs_vox: jnp.ndarray,
+                   res: Tuple[int, int, int]) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Entry/exit distances (in voxel units) of rays against the volume box.
+
+    origin_vox: (3,) or (N, 3); dirs_vox: (N, 3) normalized.
+    """
+    lo = jnp.zeros(3, jnp.float32)
+    hi = jnp.asarray(res, jnp.float32)
+    inv = 1.0 / jnp.where(jnp.abs(dirs_vox) < 1e-12,
+                          jnp.where(dirs_vox >= 0, 1e-12, -1e-12), dirs_vox)
+    t_lo = (lo - origin_vox) * inv
+    t_hi = (hi - origin_vox) * inv
+    t0 = jnp.max(jnp.minimum(t_lo, t_hi), axis=-1)
+    t1 = jnp.min(jnp.maximum(t_lo, t_hi), axis=-1)
+    return t0, t1
+
+
+def march_rays(grid: BrickGrid,
+               origin_vox: jnp.ndarray,
+               dirs_vox: jnp.ndarray,
+               isovalue: jnp.ndarray | float,
+               step: float,
+               max_steps: int,
+               binary_search_steps: int = 10,
+               unroll: int = 4,
+               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """March rays through the volume; return (hit_mask, t_hit) in voxel units.
+
+    origin_vox : (N, 3) or (3,) ray origins in voxel coordinates.
+    dirs_vox   : (N, 3) normalized directions.
+    t_hit is the binary-search-refined distance of the closest sample just
+    *outside* the isosurface (parity: `render_kernel.cu:176-187`); for rays
+    that miss, t_hit is the box exit distance.
+
+    With ``binary_search_steps=0`` the raw lattice hit distance is returned
+    (the behaviour of GVDB's stock `raySurfaceTrilinearBrick`, which the
+    reference uses for AO rays, `render_kernel.cu:136`).
+    """
+    iso = jnp.asarray(isovalue, jnp.float32)
+    n = dirs_vox.shape[0]
+    origin_vox = jnp.broadcast_to(origin_vox, (n, 3))
+    bsize = float(grid.brick_size)
+
+    t0, t1 = _ray_box_range(origin_vox, dirs_vox, grid.resolution)
+    t_start = jnp.maximum(t0, 0.0)
+    # snap the first sample onto the lattice (render_kernel.cu:165)
+    t_init = step * jnp.ceil(t_start / step)
+    alive0 = (t1 > t_start) & (t_init <= t1)
+
+    inv_dir = 1.0 / jnp.where(jnp.abs(dirs_vox) < 1e-12,
+                              jnp.where(dirs_vox >= 0, 1e-12, -1e-12), dirs_vox)
+    pos_dir = (dirs_vox > 0).astype(jnp.float32)
+
+    def one_step(state):
+        t, alive, hit, t_hit = state
+        p = origin_vox + t[:, None] * dirs_vox
+        bmax = grid.brick_max_at(p)
+        brick_active = bmax >= iso
+        # fine sample only matters inside active bricks; sampling everywhere
+        # is branch-free and the gather cost is the same under SIMD
+        value = grid.sample_trilinear(p)
+        new_hit = alive & brick_active & (value >= iso)
+
+        # empty-brick skip: first lattice point beyond the brick exit
+        brick_idx = jnp.floor(p / bsize)
+        boundary = (brick_idx + pos_dir) * bsize
+        t_exit = jnp.min((boundary - origin_vox) * inv_dir, axis=-1)
+        n_skip = jnp.maximum(jnp.ceil((t_exit + 1e-4 - t) / step), 1.0)
+        dt = jnp.where(brick_active, step, n_skip * step)
+
+        t_hit = jnp.where(new_hit, t, t_hit)
+        hit = hit | new_hit
+        t_next = t + dt
+        alive = alive & ~new_hit & (t_next <= t1)
+        t = jnp.where(alive, t_next, t)
+        return t, alive, hit, t_hit
+
+    def body(state):
+        t, alive, hit, t_hit, i = state
+        s = (t, alive, hit, t_hit)
+        for _ in range(unroll):
+            s = one_step(s)
+        return s + (i + 1,)
+
+    def cond(state):
+        _, alive, _, _, i = state
+        return jnp.any(alive) & (i < max_steps // unroll + 1)
+
+    state0 = (t_init, alive0, jnp.zeros(n, bool), t1,
+              jnp.zeros((), jnp.int32))
+    t, _, hit, t_hit = jax.lax.while_loop(cond, body, state0)[:4]
+
+    if binary_search_steps > 0:
+        # bracket: the sample one lattice step before the hit is guaranteed
+        # outside (either sampled < iso, or inside a skipped brick whose
+        # max < iso)
+        t_lower = t_hit - step
+        t_upper = t_hit
+
+        def bs_body(_, tt):
+            t_lo, t_up = tt
+            t_mid = 0.5 * (t_lo + t_up)
+            v = grid.sample_trilinear(origin_vox + t_mid[:, None] * dirs_vox)
+            inside = v >= iso
+            t_up = jnp.where(inside, t_mid, t_up)
+            t_lo = jnp.where(inside, t_lo, t_mid)
+            return t_lo, t_up
+
+        t_lower, t_upper = jax.lax.fori_loop(
+            0, binary_search_steps, bs_body, (t_lower, t_upper))
+        t_hit = jnp.where(hit, t_lower, t_hit)
+
+    return hit, t_hit
+
+
+def gradient_normal(grid: BrickGrid, vox: jnp.ndarray,
+                    offset: float = 0.5) -> jnp.ndarray:
+    """Central-difference surface normal at voxel coordinates (..., 3).
+
+    Returns the *negated* gradient direction (pointing from high density to
+    low, i.e. outward for dense-inside volumes), normalized - parity with
+    GVDB's `getGradient` (samples at +-0.5 voxels, returns
+    V(p-.5) - V(p+.5) per axis, normalized).
+    """
+    def diff(axis):
+        e = jnp.zeros(3, jnp.float32).at[axis].set(offset)
+        return grid.sample_trilinear(vox - e) - grid.sample_trilinear(vox + e)
+
+    g = jnp.stack([diff(0), diff(1), diff(2)], axis=-1)
+    norm = jnp.linalg.norm(g, axis=-1, keepdims=True)
+    return jnp.where(norm > 1e-6, g / jnp.maximum(norm, 1e-12), 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Ambient occlusion (ray-sampled mode, render_kernel.cu:109-146)
+# ---------------------------------------------------------------------------
+
+def ao_tables(num_samples: int, rotations: int, seed: int = 0
+              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Cosine-hemisphere sample directions + 2D random rotation vectors.
+
+    Parity: `GPURenderer.cpp:503-546` (cosine-weighted disk lift with random
+    length scale; ray mode normalizes so only the direction matters).
+    """
+    key = jax.random.PRNGKey(seed)
+    k1, k2, k3 = jax.random.split(key, 3)
+    u1 = jax.random.uniform(k1, (num_samples,))
+    u2 = jax.random.uniform(k2, (num_samples,))
+    r = jnp.sqrt(u1)
+    theta = 2.0 * jnp.pi * u2
+    hemi = jnp.stack([r * jnp.cos(theta), r * jnp.sin(theta),
+                      jnp.sqrt(1.0 - u1)], axis=-1)
+    hemi = hemi / jnp.linalg.norm(hemi, axis=-1, keepdims=True)
+
+    xy = jax.random.uniform(k3, (rotations * rotations, 2)) * 2.0 - 1.0
+    xy = xy / jnp.maximum(jnp.linalg.norm(xy, axis=-1, keepdims=True), 1e-6)
+    rot = jnp.concatenate([xy, jnp.zeros((rotations * rotations, 1))], axis=-1)
+    return hemi, rot
+
+
+def _smoothstep_1_0(x: jnp.ndarray) -> jnp.ndarray:
+    """CUDA smoothstep(1, 0, x): hermite ramp from 1 at x<=0 to 0 at x>=1."""
+    t = jnp.clip(1.0 - x, 0.0, 1.0)
+    return t * t * (3.0 - 2.0 * t)
+
+
+def compute_ao(grid: BrickGrid,
+               hit_pos_vox: jnp.ndarray,    # (N, 3)
+               normals: jnp.ndarray,        # (N, 3) world = voxel space dirs
+               ray_dirs: jnp.ndarray,       # (N, 3) primary ray directions
+               hit_mask: jnp.ndarray,       # (N,)
+               pixel_xy: jnp.ndarray,       # (N, 2) int pixel coords
+               cfg: RenderConfig,
+               voxel_size: jnp.ndarray | float,
+               ) -> jnp.ndarray:
+    """World-space ray-cast ambient occlusion (render_kernel.cu:109-146).
+
+    Hemisphere rays are marched sequentially (lax.scan over samples) with the
+    full image as vector lanes.  Occlusion contribution of a secondary hit at
+    distance d is smoothstep(1, 0, ao_radius / d).
+    """
+    if cfg.ao_samples <= 0:
+        return jnp.ones(hit_pos_vox.shape[0], jnp.float32)
+
+    hemi, rots = ao_tables(cfg.ao_samples, cfg.ao_rotations)
+    rx = pixel_xy[:, 0] % cfg.ao_rotations
+    ry = pixel_xy[:, 1] % cfg.ao_rotations
+    noise = rots[rx + cfg.ao_rotations * ry]          # (N, 3)
+
+    n = normals
+    tangent = noise - n * jnp.sum(noise * n, axis=-1, keepdims=True)
+    tlen = jnp.linalg.norm(tangent, axis=-1, keepdims=True)
+    # guard degenerate noise || normal
+    fallback = jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]), n.shape)
+    fallback = fallback - n * n[..., :1]
+    tangent = jnp.where(tlen > 1e-6, tangent / jnp.maximum(tlen, 1e-12),
+                        fallback / jnp.maximum(
+                            jnp.linalg.norm(fallback, axis=-1, keepdims=True),
+                            1e-12))
+    bitangent = jnp.cross(n, tangent)
+
+    vsize = jnp.asarray(voxel_size, jnp.float32)
+    ao_bias_vox = cfg.ao_bias / vsize
+    origin = hit_pos_vox - ao_bias_vox * ray_dirs      # backtrack (cu:251)
+
+    def one_sample(acc, s):
+        # world dir = [tangent | bitangent | normal] @ s
+        d = (tangent * s[0] + bitangent * s[1] + n * s[2])
+        d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
+        hit2, t2 = march_rays(grid, origin, d, cfg.isovalue, cfg.step_voxels,
+                              cfg.ao_ray_steps, binary_search_steps=0)
+        dist_world = t2 * vsize
+        contrib = jnp.where(hit2,
+                            _smoothstep_1_0(cfg.ao_radius /
+                                            jnp.maximum(dist_world, 1e-12)),
+                            1.0)
+        return acc + contrib, None
+
+    acc0 = jnp.zeros(hit_pos_vox.shape[0], jnp.float32)
+    acc, _ = jax.lax.scan(one_sample, acc0, hemi)
+    ao = acc / cfg.ao_samples
+    return jnp.where(hit_mask, ao, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Full G-buffer render
+# ---------------------------------------------------------------------------
+
+def _reflect(i: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
+    """reflect3 from render_kernel.cu:45-48."""
+    return i - 2.0 * n * jnp.sum(n * i, axis=-1, keepdims=True)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def render_gbuffer(grid: BrickGrid,
+                   cam: CameraParams,
+                   cam_flow: CameraParams,
+                   cfg: RenderConfig) -> jnp.ndarray:
+    """Render one frame: (H, W, 12) float32 G-buffer.
+
+    Channels (parity: `render_kernel.cu:254-265`):
+      [0:3] Phong-shaded RGB, [3] mask, [4:7] view-space normal,
+      [7] NDC depth, [8:10] screen-space flow (0.5 * (ndc_cur - ndc_flowcam)),
+      [10] ambient occlusion, [11] shadow (constant 1).
+
+    ``cam_flow`` plays the role of the reference's "next view matrix": in
+    interactive mode the *previous* camera is passed here so the flow warps
+    the previous frame onto the current one (`GPURendererDirect.cpp:436-442`).
+    """
+    H, W = cfg.height, cfg.width
+    eye, dirs = cam.pixel_rays(W, H)          # (3,), (H, W, 3)
+    dirs = dirs.reshape(-1, 3)
+    npix = H * W
+
+    # uniform voxel size (unit-box normalization keeps voxels cubic)
+    vsize = grid.voxel_size[0]
+    origin_vox = grid.world_to_voxel(eye)
+
+    hit, t_hit = march_rays(grid, origin_vox, dirs, cfg.isovalue,
+                            cfg.step_voxels, cfg.max_march_steps,
+                            cfg.binary_search_steps)
+
+    hit_vox = origin_vox + t_hit[:, None] * dirs
+    hit_world = grid.voxel_to_world(hit_vox)
+    normal_w = gradient_normal(grid, hit_vox)
+
+    # ---- Phong shading in world space (render_kernel.cu:232-237) ----
+    if cfg.camera_light:
+        light_dir = cam.look_at_pt - cam.eye
+        light_dir = light_dir / jnp.maximum(jnp.linalg.norm(light_dir), 1e-12)
+    else:
+        light_dir = jnp.asarray(cfg.light_direction, jnp.float32)
+        light_dir = light_dir / jnp.maximum(jnp.linalg.norm(light_dir), 1e-12)
+    ambient = jnp.asarray(cfg.ambient_color, jnp.float32)
+    diffuse = jnp.asarray(cfg.diffuse_color, jnp.float32)
+    specular = jnp.asarray(cfg.specular_color, jnp.float32)
+
+    eyedir = eye - hit_world
+    eyedir = eyedir / jnp.maximum(
+        jnp.linalg.norm(eyedir, axis=-1, keepdims=True), 1e-12)
+    ndotl = jnp.sum(normal_w * light_dir, axis=-1, keepdims=True)
+    color = ambient + diffuse * jnp.abs(ndotl)
+    refl = _reflect(jnp.broadcast_to(light_dir, normal_w.shape), normal_w)
+    refl = refl / jnp.maximum(
+        jnp.linalg.norm(refl, axis=-1, keepdims=True), 1e-12)
+    rdotv = jnp.clip(jnp.sum(refl * eyedir, axis=-1, keepdims=True), 0.0, None)
+    # the GPU data-generation kernel uses the constant 3.41 where pi is meant
+    # (render_kernel.cu:236); kept for numeric parity with reference data
+    spec_norm = (cfg.specular_exponent + 2) / (2 * 3.41)
+    color = color + specular * spec_norm * rdotv ** cfg.specular_exponent
+
+    # ---- flow + depth + view-space normal (render_kernel.cu:239-249) ----
+    mvp_cur = cam.mvp(W, H)
+    mvp_flow = cam_flow.mvp(W, H)
+    ndc_cur = project(mvp_cur, hit_world)
+    ndc_flow = project(mvp_flow, hit_world)
+    flow = 0.5 * (ndc_cur[:, :2] - ndc_flow[:, :2])
+    depth = ndc_cur[:, 2]
+    normal_vs = normal_w @ cam.normal_matrix().T
+
+    # ---- ambient occlusion ----
+    xx = jnp.tile(jnp.arange(W, dtype=jnp.int32), H)
+    yy = jnp.repeat(jnp.arange(H, dtype=jnp.int32), W)
+    pixel_xy = jnp.stack([xx, yy], axis=-1)
+    ao = compute_ao(grid, hit_vox, normal_w, dirs, hit, pixel_xy, cfg, vsize)
+
+    # ---- viewport clipping (render_kernel.cu:222) ----
+    if cfg.viewport is not None:
+        x0, y0, x1, y1 = cfg.viewport
+        in_vp = (xx >= x0) & (yy >= y0) & (xx < x1) & (yy < y1)
+        hit = hit & in_vp
+
+    m = hit.astype(jnp.float32)
+    mc = m[:, None]
+    frame = jnp.concatenate([
+        color * mc,                           # 0:3 rgb
+        m[:, None],                           # 3 mask
+        normal_vs * mc,                       # 4:7 view-space normal
+        (depth * m)[:, None],                 # 7 depth
+        flow * mc,                            # 8:10 flow
+        jnp.where(hit, ao, 1.0)[:, None],     # 10 ao (1 outside, cu:219)
+        jnp.ones((npix, 1), jnp.float32),     # 11 shadow
+    ], axis=-1)
+    return frame.reshape(H, W, 12)
+
+
+def gbuffer_to_low_input(frame: jnp.ndarray) -> jnp.ndarray:
+    """Extract the 5-channel network input from a 12-channel G-buffer.
+
+    Returns (H, W, 5): [mask in [-1, 1], nx, ny, nz, depth] - the training
+    input layout of `mainVideoUnshaded.py:211-213` (mask rescaled from {0,1}
+    to {-1, 1} as in `datasetVideo.py:172-258`).
+    """
+    mask = frame[..., 3:4] * 2.0 - 1.0
+    return jnp.concatenate([mask, frame[..., 4:7], frame[..., 7:8]], axis=-1)
+
+
+def gbuffer_to_high_target(frame: jnp.ndarray) -> jnp.ndarray:
+    """Extract the 6-channel training target: [mask, n, depth, ao]."""
+    mask = frame[..., 3:4] * 2.0 - 1.0
+    return jnp.concatenate([mask, frame[..., 4:7], frame[..., 7:8],
+                            frame[..., 10:11]], axis=-1)
+
+
+def gbuffer_flow(frame: jnp.ndarray) -> jnp.ndarray:
+    """Extract the (H, W, 2) screen-space flow channels."""
+    return frame[..., 8:10]

@@ -1,0 +1,248 @@
+"""Bricked volume grid: the TPU-native stand-in for GVDB / OpenVDB.
+
+The reference stores sparse volumes in GVDB's pool+atlas structure
+(`third-party/include/gvdb`, fed by `Vdb2Vbx.cpp:70-324`) or OpenVDB trees
+(`CPURenderer/IsoVolumeRayTracer.h`).  On TPU, random pointer-chasing through
+a tree is hostile to the vector units, so the design is:
+
+* one dense, padded 3D array of values in HBM (XYZ order, channels of one),
+* a per-brick min/max summary grid used for empty-space skipping during the
+  ray march (the analogue of GVDB's node-level DDA), and
+* a world transform that normalizes the volume into a unit box, matching the
+  reference's grid normalization (`CPURenderer.cpp:448-460`,
+  `GPURenderer.cpp:464-488`).
+
+Brick min/max (instead of a boolean occupancy at a fixed isovalue) keeps the
+skip structure valid for *any* isovalue, which the interactive app changes per
+frame (`GPURendererDirect.cpp:411-412`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+DEFAULT_BRICK_SIZE = 8  # voxels per brick side (GVDB leaf bricks are 8^3:
+                        # 5-4-3 config in Vdb2Vbx.cpp:72)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class BrickGrid:
+    """A dense volume with a brick-level min/max pyramid.
+
+    Attributes
+    ----------
+    values : (X, Y, Z) float32 array of densities.
+    brick_min / brick_max : (X/b, Y/b, Z/b) float32 per-brick value bounds
+        (over the brick's voxels *plus a one-voxel apron*, so trilinear
+        samples taken inside a brick are bounded even when the stencil
+        straddles the boundary - the analogue of GVDB's atlas apron,
+        `Vdb2Vbx.cpp:150`).
+    bbox_min / bbox_max : (3,) world-space axis-aligned bounds of the volume.
+    brick_size : static int, voxels per brick side.
+    """
+
+    values: jnp.ndarray
+    brick_min: jnp.ndarray
+    brick_max: jnp.ndarray
+    bbox_min: jnp.ndarray
+    bbox_max: jnp.ndarray
+    brick_size: int = DEFAULT_BRICK_SIZE
+
+    # -- pytree protocol ----------------------------------------------------
+    def tree_flatten(self):
+        children = (self.values, self.brick_min, self.brick_max,
+                    self.bbox_min, self.bbox_max)
+        return children, (self.brick_size,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, brick_size=aux[0])
+
+    # -- derived quantities --------------------------------------------------
+    @property
+    def resolution(self) -> Tuple[int, int, int]:
+        return tuple(self.values.shape)
+
+    @property
+    def voxel_size(self) -> jnp.ndarray:
+        """World-space size of one voxel (3,)."""
+        res = jnp.asarray(self.values.shape, jnp.float32)
+        return (self.bbox_max - self.bbox_min) / res
+
+    def world_to_voxel(self, p: jnp.ndarray) -> jnp.ndarray:
+        """Map world positions (..., 3) to continuous voxel coordinates.
+
+        Voxel coordinate v means a position v voxels from the bbox minimum;
+        the sample stored at integer index i sits at voxel coordinate i + 0.5
+        (cell-centered, like GVDB's atlas sampling in `render_kernel.cu:69-71`).
+        """
+        res = jnp.asarray(self.values.shape, jnp.float32)
+        return (p - self.bbox_min) / (self.bbox_max - self.bbox_min) * res
+
+    def voxel_to_world(self, v: jnp.ndarray) -> jnp.ndarray:
+        res = jnp.asarray(self.values.shape, jnp.float32)
+        return v / res * (self.bbox_max - self.bbox_min) + self.bbox_min
+
+    # -- sampling ------------------------------------------------------------
+    def sample_trilinear(self, vox: jnp.ndarray) -> jnp.ndarray:
+        """Trilinear sample at continuous voxel coordinates (..., 3).
+
+        Out-of-bounds samples return 0 (empty space), matching GVDB's
+        behaviour outside allocated nodes (`render_kernel.cu:60-66`).
+        """
+        return sample_trilinear(self.values, vox)
+
+    def sample_nearest(self, vox: jnp.ndarray) -> jnp.ndarray:
+        shape = jnp.asarray(self.values.shape, jnp.int32)
+        idx = jnp.floor(vox).astype(jnp.int32)
+        inside = jnp.all((idx >= 0) & (idx < shape), axis=-1)
+        idx = jnp.clip(idx, 0, shape - 1)
+        v = self.values[idx[..., 0], idx[..., 1], idx[..., 2]]
+        return jnp.where(inside, v, 0.0)
+
+    def brick_max_at(self, vox: jnp.ndarray) -> jnp.ndarray:
+        """Max value of the brick containing voxel coordinate (..., 3).
+
+        Out-of-bounds positions report -inf so empty space outside the volume
+        is always skippable.
+        """
+        b = self.brick_size
+        bshape = jnp.asarray(self.brick_max.shape, jnp.int32)
+        idx = jnp.floor(vox / b).astype(jnp.int32)
+        inside = jnp.all((idx >= 0) & (idx < bshape), axis=-1)
+        idx = jnp.clip(idx, 0, bshape - 1)
+        v = self.brick_max[idx[..., 0], idx[..., 1], idx[..., 2]]
+        return jnp.where(inside, v, -jnp.inf)
+
+    # -- constructors --------------------------------------------------------
+    @classmethod
+    def from_dense(cls,
+                   values: np.ndarray | jnp.ndarray,
+                   brick_size: int = DEFAULT_BRICK_SIZE,
+                   normalize_box: bool = True,
+                   bbox: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+                   ) -> "BrickGrid":
+        """Build a BrickGrid from a dense (X, Y, Z) array.
+
+        With ``normalize_box=True`` the volume is scaled uniformly so its
+        longest side spans 1 world unit, centered at the origin - parity with
+        the unit-box normalization of `CPURenderer.cpp:448-460`.
+        """
+        values = jnp.asarray(values, jnp.float32)
+        if values.ndim != 3:
+            raise ValueError(f"expected 3D volume, got shape {values.shape}")
+        res = np.asarray(values.shape, np.float32)
+        if bbox is not None:
+            bbox_min = jnp.asarray(bbox[0], jnp.float32)
+            bbox_max = jnp.asarray(bbox[1], jnp.float32)
+        elif normalize_box:
+            longest = float(res.max())
+            half = res / longest / 2.0
+            bbox_min = jnp.asarray(-half, jnp.float32)
+            bbox_max = jnp.asarray(half, jnp.float32)
+        else:
+            bbox_min = jnp.zeros(3, jnp.float32)
+            bbox_max = jnp.asarray(res, jnp.float32)
+
+        brick_min, brick_max = compute_brick_minmax(values, brick_size)
+        return cls(values=values, brick_min=brick_min, brick_max=brick_max,
+                   bbox_min=bbox_min, bbox_max=bbox_max, brick_size=brick_size)
+
+
+def sample_trilinear(values: jnp.ndarray, vox: jnp.ndarray) -> jnp.ndarray:
+    """Trilinear interpolation of a dense (X, Y, Z) volume.
+
+    ``vox`` holds continuous voxel coordinates (..., 3) where the voxel stored
+    at integer index i is centered at coordinate i + 0.5.  Samples outside the
+    volume return 0 (empty space), the same convention as GVDB returning 0 for
+    unallocated nodes (`render_kernel.cu:60-66`).
+
+    The gather is expressed through flat dynamic indexing, which XLA lowers to
+    a single gather op - the TPU analogue of the reference's `tex3D` hardware
+    fetches (`render_kernel.cu:172`).
+    """
+    shape = values.shape
+    X, Y, Z = shape
+    p = vox - 0.5  # shift so integer coords hit voxel centers
+    p0 = jnp.floor(p)
+    frac = p - p0
+    i0 = p0.astype(jnp.int32)
+
+    # validity of the 8 stencil corners is handled by clamping + zero weight
+    # outside: a corner outside the volume contributes value 0.
+    def corner(dx, dy, dz):
+        idx = i0 + jnp.array([dx, dy, dz], jnp.int32)
+        inside = ((idx[..., 0] >= 0) & (idx[..., 0] < X)
+                  & (idx[..., 1] >= 0) & (idx[..., 1] < Y)
+                  & (idx[..., 2] >= 0) & (idx[..., 2] < Z))
+        ic = jnp.clip(idx, 0, jnp.asarray([X - 1, Y - 1, Z - 1], jnp.int32))
+        flat = (ic[..., 0] * Y + ic[..., 1]) * Z + ic[..., 2]
+        v = jnp.take(values.reshape(-1), flat)
+        return jnp.where(inside, v, 0.0)
+
+    fx, fy, fz = frac[..., 0], frac[..., 1], frac[..., 2]
+    c000 = corner(0, 0, 0); c100 = corner(1, 0, 0)
+    c010 = corner(0, 1, 0); c110 = corner(1, 1, 0)
+    c001 = corner(0, 0, 1); c101 = corner(1, 0, 1)
+    c011 = corner(0, 1, 1); c111 = corner(1, 1, 1)
+
+    c00 = c000 * (1 - fx) + c100 * fx
+    c10 = c010 * (1 - fx) + c110 * fx
+    c01 = c001 * (1 - fx) + c101 * fx
+    c11 = c011 * (1 - fx) + c111 * fx
+    c0 = c00 * (1 - fy) + c10 * fy
+    c1 = c01 * (1 - fy) + c11 * fy
+    return c0 * (1 - fz) + c1 * fz
+
+
+def compute_brick_minmax(values: jnp.ndarray, brick_size: int
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-brick min/max with a one-voxel apron on every side.
+
+    The apron makes the bounds conservative for trilinear interpolation at
+    brick boundaries: a sample inside brick B interpolates voxels up to one
+    index outside B, so B's bounds must include them.
+    """
+    b = brick_size
+    X, Y, Z = values.shape
+    px = (-X) % b
+    py = (-Y) % b
+    pz = (-Z) % b
+    # pad with edge values so padding never widens the true range
+    v = jnp.pad(values, ((0, px), (0, py), (0, pz)), mode="edge")
+    Xp, Yp, Zp = v.shape
+
+    def pool(v, op, pad_val):
+        blocks = v.reshape(Xp // b, b, Yp // b, b, Zp // b, b)
+        core = op(blocks, axis=(1, 3, 5))
+        # one-voxel apron: take the running op with shifted neighbours
+        vp = jnp.pad(v, 1, mode="constant", constant_values=pad_val)
+        # max/min over each brick extended by 1 voxel on each side:
+        # reduce over (b+2)^3 windows positioned at brick starts.
+        # Implemented by combining the core with 6 face-slabs via shifted pools
+        # would be complex; simplest correct approach: reduce windows directly.
+        windows = []
+        for dx in (0, 1, 2):
+            for dy in (0, 1, 2):
+                for dz in (0, 1, 2):
+                    shifted = vp[dx:dx + Xp:1, dy:dy + Yp:1, dz:dz + Zp:1]
+                    blocks_s = shifted.reshape(Xp // b, b, Yp // b, b, Zp // b, b)
+                    windows.append(op(blocks_s, axis=(1, 3, 5)))
+        out = windows[0]
+        for w in windows[1:]:
+            out = op(jnp.stack([out, w]), axis=0)
+        return out
+
+    # NOTE: pooling over 27 shifted copies covers every voxel in the
+    # (b+2)^3 apron window because shifts of 0..2 voxels combined with the
+    # b-aligned blocking tile the halo completely for b >= 2.
+    bmin = pool(v, jnp.min, jnp.inf)
+    bmax = pool(v, jnp.max, -jnp.inf)
+    return bmin, bmax

@@ -1,0 +1,227 @@
+"""Raycaster golden tests against the analytic sphere.
+
+The reference has no renderer unit tests (SURVEY.md section 4); these are the
+golden-fixture replacements: every hit point and normal of a sphere volume is
+known in closed form.
+"""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from isosurfacesuperresolution_tpu.config import RenderConfig
+from isosurfacesuperresolution_tpu.render.camera import (
+    CameraParams, project)
+from isosurfacesuperresolution_tpu.render.raycast import (
+    march_rays, gradient_normal, render_gbuffer, gbuffer_to_low_input)
+from isosurfacesuperresolution_tpu.volume import analytic
+
+
+RADIUS = 0.3
+EYE = (0.0, 1.0, -1.7)
+
+
+def _sphere():
+    return analytic.sphere_volume(96, radius=RADIUS)
+
+
+def _render(grid, cfg, cam=None, cam_flow=None):
+    cam = cam or CameraParams.create(EYE)
+    cam_flow = cam_flow or cam
+    return np.asarray(render_gbuffer(grid, cam, cam_flow, cfg)), cam
+
+
+def test_march_hits_sphere_at_analytic_distance():
+    grid = _sphere()
+    eye = jnp.asarray(EYE, jnp.float32)
+    # ray straight at the center
+    d = -eye / jnp.linalg.norm(eye)
+    origin_vox = grid.world_to_voxel(eye)
+    hit, t_hit = march_rays(grid, origin_vox, d[None, :], 0.5,
+                            step=0.25, max_steps=4096)
+    assert bool(hit[0])
+    dist_world = float(t_hit[0]) * float(grid.voxel_size[0])
+    expected = float(jnp.linalg.norm(eye)) - RADIUS
+    # binary search refines to a fraction of a voxel (1/96 ~ 0.01 world units)
+    assert abs(dist_world - expected) < 0.01
+
+
+def test_march_misses_outside_silhouette():
+    grid = _sphere()
+    eye = jnp.asarray(EYE, jnp.float32)
+    d = jnp.asarray([0.0, 1.0, 0.0], jnp.float32)  # straight up: miss
+    origin_vox = grid.world_to_voxel(eye)
+    hit, _ = march_rays(grid, origin_vox, d[None, :], 0.5, 0.25, 4096)
+    assert not bool(hit[0])
+
+
+def test_empty_space_skip_matches_dense_march():
+    """Brick skipping must not change results, only speed."""
+    grid = _sphere()
+    rng = np.random.RandomState(3)
+    dirs = rng.normal(size=(64, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    eye = jnp.asarray(EYE, jnp.float32)
+    origin_vox = grid.world_to_voxel(eye)
+
+    hit_a, t_a = march_rays(grid, origin_vox, jnp.asarray(dirs), 0.5, 0.25, 8192)
+
+    # degenerate brick structure: single global brick (no skipping possible)
+    from isosurfacesuperresolution_tpu.volume.grid import BrickGrid, compute_brick_minmax
+    bmin, bmax = compute_brick_minmax(grid.values, 96)
+    dense = BrickGrid(values=grid.values, brick_min=bmin, brick_max=bmax,
+                      bbox_min=grid.bbox_min, bbox_max=grid.bbox_max,
+                      brick_size=96)
+    hit_b, t_b = march_rays(dense, origin_vox, jnp.asarray(dirs), 0.5, 0.25, 8192)
+
+    np.testing.assert_array_equal(np.asarray(hit_a), np.asarray(hit_b))
+    np.testing.assert_allclose(np.asarray(t_a)[np.asarray(hit_a)],
+                               np.asarray(t_b)[np.asarray(hit_b)], atol=1e-3)
+
+
+def test_normals_point_radially_outward():
+    grid = _sphere()
+    cfg = RenderConfig(width=64, height=64, isovalue=0.5, step_voxels=0.25,
+                       ao_samples=0)
+    cam = CameraParams.create(EYE)
+    frame = np.asarray(render_gbuffer(grid, cam, cam, cfg))
+    mask = frame[..., 3] > 0.5
+    assert mask.sum() > 50
+
+    # recompute world normals from view-space ones and compare with radial dir
+    eye, dirs = cam.pixel_rays(64, 64)
+    # distance from the stored NDC depth is awkward; instead re-march
+    origin_vox = grid.world_to_voxel(eye)
+    hit, t = march_rays(grid, origin_vox, dirs.reshape(-1, 3), 0.5, 0.25, 8192)
+    hit_world = np.asarray(
+        grid.voxel_to_world(origin_vox + t[:, None] * dirs.reshape(-1, 3)))
+    n_world = np.asarray(gradient_normal(
+        grid, grid.world_to_voxel(jnp.asarray(hit_world))))
+    hit = np.asarray(hit)
+    radial = hit_world / np.linalg.norm(hit_world, axis=-1, keepdims=True)
+    cos = np.sum(n_world * radial, axis=-1)[hit]
+    assert np.mean(cos) > 0.999
+    assert np.min(cos) > 0.98
+
+
+def test_view_space_normals_face_camera():
+    grid = _sphere()
+    cfg = RenderConfig(width=64, height=64, isovalue=0.5, step_voxels=0.25,
+                       ao_samples=0)
+    frame, _ = _render(grid, cfg)
+    mask = frame[..., 3] > 0.5
+    nz = frame[..., 6][mask]
+    # front-facing surface: positive z in view space (camera looks down -z)
+    assert np.all(nz > -0.05)
+    assert np.mean(nz) > 0.5
+
+
+def test_hit_projects_back_to_pixel():
+    """Self-consistency: MVP projection of a hit lands in its own pixel."""
+    grid = _sphere()
+    W = H = 64
+    cam = CameraParams.create(EYE)
+    eye, dirs = cam.pixel_rays(W, H)
+    origin_vox = grid.world_to_voxel(eye)
+    hit, t = march_rays(grid, origin_vox, dirs.reshape(-1, 3), 0.5, 0.25, 8192)
+    hw = grid.voxel_to_world(origin_vox + t[:, None] * dirs.reshape(-1, 3))
+    ndc = np.asarray(project(cam.mvp(W, H), hw))
+    hit = np.asarray(hit)
+    xs = (np.tile(np.arange(W), H) + 0.5) / W * 2 - 1
+    ys = 1 - (np.repeat(np.arange(H), W) + 0.5) / H * 2
+    np.testing.assert_allclose(ndc[hit, 0], xs[hit], atol=2.0 / W)
+    np.testing.assert_allclose(ndc[hit, 1], ys[hit], atol=2.0 / H)
+
+
+def test_depth_within_ndc_range_and_monotonic():
+    grid = _sphere()
+    cfg = RenderConfig(width=64, height=64, isovalue=0.5, step_voxels=0.25,
+                       ao_samples=0)
+    frame, _ = _render(grid, cfg)
+    mask = frame[..., 3] > 0.5
+    depth = frame[..., 7][mask]
+    assert np.all(depth > -1.0) and np.all(depth < 1.0)
+    # center of the sphere is nearest to this camera -> smallest depth
+    H, W = 64, 64
+    center_depth = frame[H // 2, W // 2, 7]
+    assert center_depth <= depth.max()
+
+
+def test_flow_zero_for_static_camera():
+    grid = _sphere()
+    cfg = RenderConfig(width=48, height=48, isovalue=0.5, step_voxels=0.25,
+                       ao_samples=0)
+    frame, _ = _render(grid, cfg)
+    np.testing.assert_allclose(frame[..., 8:10], 0.0, atol=1e-5)
+
+
+def test_flow_sign_for_camera_motion():
+    """Camera orbiting -> flow = 0.5 * (ndc_now - ndc_flowcam) is nonzero and
+    consistent with the projected displacement."""
+    grid = _sphere()
+    cfg = RenderConfig(width=48, height=48, isovalue=0.5, step_voxels=0.25,
+                       ao_samples=0)
+    cam_now = CameraParams.create(EYE)
+    # slightly rotated camera
+    ang = 0.05
+    eye2 = (EYE[0] * math.cos(ang) - EYE[2] * math.sin(ang), EYE[1],
+            EYE[0] * math.sin(ang) + EYE[2] * math.cos(ang))
+    cam_prev = CameraParams.create(eye2)
+    frame = np.asarray(render_gbuffer(grid, cam_now, cam_prev, cfg))
+    mask = frame[..., 3] > 0.5
+    flow = frame[..., 8:10][mask]
+    assert np.abs(flow).max() > 1e-3
+    # compare to direct projection difference at the center pixel
+    H = W = 48
+    cy, cx = H // 2, W // 2
+    if mask[cy, cx]:
+        eye, dirs = cam_now.pixel_rays(W, H)
+        origin_vox = grid.world_to_voxel(eye)
+        hit, t = march_rays(grid, origin_vox,
+                            dirs.reshape(-1, 3), 0.5, 0.25, 8192)
+        hw = grid.voxel_to_world(origin_vox + t[:, None] * dirs.reshape(-1, 3))
+        i = cy * W + cx
+        ndc_now = np.asarray(project(cam_now.mvp(W, H), hw[i]))
+        ndc_prev = np.asarray(project(cam_prev.mvp(W, H), hw[i]))
+        expected = 0.5 * (ndc_now[:2] - ndc_prev[:2])
+        np.testing.assert_allclose(frame[cy, cx, 8:10], expected, atol=1e-5)
+
+
+def test_ao_full_in_open_space_partial_in_crevice():
+    grid = analytic.torus_volume(64)
+    cfg = RenderConfig(width=48, height=48, isovalue=0.5, step_voxels=0.5,
+                       ao_samples=16, ao_radius=0.1, ao_ray_steps=512)
+    cam = CameraParams.create((0, 0.4, -1.4))
+    frame = np.asarray(render_gbuffer(grid, cam, cam, cfg))
+    mask = frame[..., 3] > 0.5
+    assert mask.sum() > 20
+    ao = frame[..., 10]
+    # background AO is exactly 1
+    np.testing.assert_allclose(ao[~mask], 1.0)
+    ao_hit = ao[mask]
+    assert ao_hit.min() >= 0.0 and ao_hit.max() <= 1.0
+    # a torus seen from above has concave inner surfaces: some occlusion
+    assert ao_hit.min() < 0.9
+    # convex outer silhouette should stay mostly unoccluded
+    assert ao_hit.max() > 0.75
+
+
+def test_viewport_clipping():
+    grid = _sphere()
+    cfg = RenderConfig(width=48, height=48, isovalue=0.5, step_voxels=0.25,
+                       ao_samples=0, viewport=(0, 0, 24, 48))
+    frame, _ = _render(grid, cfg)
+    assert frame[:, 24:, 3].max() == 0.0  # right half clipped
+    assert frame[:, :24, 3].max() == 1.0
+
+
+def test_low_input_extraction():
+    grid = _sphere()
+    cfg = RenderConfig(width=32, height=32, isovalue=0.5, step_voxels=0.5,
+                       ao_samples=0)
+    frame, _ = _render(grid, cfg)
+    low = np.asarray(gbuffer_to_low_input(jnp.asarray(frame)))
+    assert low.shape == (32, 32, 5)
+    assert set(np.unique(low[..., 0])).issubset({-1.0, 1.0})
