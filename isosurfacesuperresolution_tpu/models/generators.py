@@ -1,0 +1,282 @@
+"""Generator zoo: EnhanceNet, RCAN, TecoGAN, SubpixelNet in Flax (NHWC).
+
+Parity targets: `models/enhancenet.py`, `models/rcan.py`, `models/tecogan.py`,
+`models/subpixelnet.py` and the factory contract of `models/__init__.py:21-49`:
+every generator maps a low-res input (B, H, W, Cin) to
+``(output (B, rH, rW, Cout), residual)`` where Cin includes the flattened
+warped previous frame (5 + 6*16 = 101 channels for the unshaded video nets,
+`mainVideoUnshaded.py:210-214`).
+
+TPU notes: all convs are NHWC so XLA tiles them onto the MXU directly;
+``compute_dtype='bfloat16'`` runs the conv stack in bf16 with f32 params
+(the residual reconstruction and outputs stay f32).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from isosurfacesuperresolution_tpu.config import ModelConfig
+from isosurfacesuperresolution_tpu.ops.resize import pixel_shuffle, resize
+
+
+def _orthogonal_relu_init():
+    """Orthogonal init with the ReLU gain sqrt(2).
+
+    Parity: `enhancenet.py:127-133` (`torch.nn.init.orthogonal_` with
+    `calculate_gain('relu')`).
+    """
+    return nn.initializers.orthogonal(scale=jnp.sqrt(2.0))
+
+
+def _recon_image(inputs: jnp.ndarray, outputs: jnp.ndarray,
+                 channel_mask_len: int, output_channels: int,
+                 recon_type: str, upsample: str
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Residual reconstruction (parity: `enhancenet.py:51-90`).
+
+    The first ``channel_mask_len`` input channels are upsampled and added to
+    the matching leading output channels; extra output channels (e.g. the AO
+    channel absent from the 5-channel input) pass through unchanged.
+    """
+    method = upsample if upsample != "pixelShuffle" else "bilinear"
+    resized = resize(inputs[..., :channel_mask_len],
+                     size=(outputs.shape[-3], outputs.shape[-2]),
+                     method=method)
+    if recon_type == "residual":
+        if channel_mask_len == output_channels:
+            recon = resized + outputs
+        elif channel_mask_len < output_channels:
+            recon = jnp.concatenate(
+                [resized + outputs[..., :channel_mask_len],
+                 outputs[..., channel_mask_len:]], axis=-1)
+        else:
+            raise ValueError("number of output channels must be at least the"
+                             " number of masked input channels")
+    else:
+        recon = outputs
+    return recon, outputs
+
+
+class _Upsample2x(nn.Module):
+    """x2 upsampling by interpolation or pixel shuffle."""
+
+    mode: str
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        if self.mode == "pixelShuffle":
+            x = nn.Conv(self.features * 4, (3, 3), padding=1,
+                        dtype=self.dtype)(x)
+            return pixel_shuffle(x, 2)
+        return resize(x, scale=2.0, method=self.mode)
+
+
+class EnhanceNet(nn.Module):
+    """EnhanceNet generator (parity: `models/enhancenet.py:92-145`).
+
+    3x3 conv -> 64 pre-block, ``num_residual_blocks`` residual blocks
+    (conv-ReLU-conv, optional BN) with additive skips, post-block of two
+    (upsample x2 + conv + ReLU) stages + conv + ReLU + output conv, then
+    residual reconstruction against the bilinear-upsampled masked input.
+    """
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, inputs, train: bool = False):
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.compute_dtype)
+        conv = lambda f, name: nn.Conv(f, (3, 3), padding=1, dtype=dtype,
+                                       name=name)
+        x = inputs.astype(dtype)
+        feat = nn.relu(conv(cfg.num_features, "pre")(x))
+        for i in range(cfg.num_residual_blocks):
+            y = nn.Conv(cfg.num_features, (3, 3), padding=1, dtype=dtype,
+                        kernel_init=_orthogonal_relu_init(),
+                        name=f"block{i}_conv1")(feat)
+            if cfg.use_bn:
+                y = nn.BatchNorm(use_running_average=not train,
+                                 dtype=dtype, name=f"block{i}_bn1")(y)
+            y = nn.relu(y)
+            y = nn.Conv(cfg.num_features, (3, 3), padding=1, dtype=dtype,
+                        kernel_init=_orthogonal_relu_init(),
+                        name=f"block{i}_conv2")(y)
+            if cfg.use_bn:
+                y = nn.BatchNorm(use_running_average=not train,
+                                 dtype=dtype, name=f"block{i}_bn2")(y)
+            feat = feat + y
+
+        up_mode = cfg.upsample
+        y = _Upsample2x(up_mode, cfg.num_features, dtype, name="up1")(feat)
+        y = nn.relu(conv(cfg.num_features, "post1")(y))
+        y = _Upsample2x(up_mode, cfg.num_features, dtype, name="up2")(y)
+        y = nn.relu(conv(cfg.num_features, "post2")(y))
+        y = nn.relu(conv(cfg.num_features, "post3")(y))
+        outputs = conv(cfg.output_channels, "out")(y).astype(jnp.float32)
+
+        return _recon_image(inputs.astype(jnp.float32), outputs,
+                            len(cfg.channel_mask), cfg.output_channels,
+                            cfg.recon_type, cfg.upsample)
+
+
+class RCAN(nn.Module):
+    """Residual-channel-attention network (parity: `models/rcan.py:12-121`).
+
+    G=10 residual groups x B=20 RCAB blocks, C=64 features, reduction 16,
+    PixelShuffle x4 upsampling, clamped output, residual = output minus
+    bilinear-upsampled masked input.
+    """
+
+    cfg: ModelConfig
+    num_groups: int = 10
+    num_blocks: int = 20
+    reduction: int = 16
+
+    @nn.compact
+    def __call__(self, inputs, train: bool = False):
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.compute_dtype)
+        c = cfg.num_features
+
+        def rcab(x, name):
+            y = nn.Conv(c, (3, 3), padding=1, dtype=dtype,
+                        name=f"{name}_conv1")(x)
+            y = nn.leaky_relu(y)
+            y = nn.Conv(c, (3, 3), padding=1, dtype=dtype,
+                        name=f"{name}_conv2")(y)
+            # channel attention: global average pool -> squeeze -> excite
+            z = jnp.mean(y, axis=(-3, -2))
+            s = nn.Dense(c // self.reduction, dtype=dtype,
+                         name=f"{name}_down")(z)
+            s = nn.leaky_relu(s)
+            s = nn.Dense(c, dtype=dtype, name=f"{name}_up")(s)
+            s = nn.sigmoid(s)[:, None, None, :]
+            return x + y * s
+
+        x = inputs.astype(dtype)
+        feat = nn.Conv(c, (3, 3), padding=1, dtype=dtype, name="pre")(x)
+        rir_in = feat
+        for g in range(self.num_groups):
+            group_in = feat
+            for b in range(self.num_blocks):
+                feat = rcab(feat, f"g{g}_b{b}")
+            feat = nn.Conv(c, (3, 3), padding=1, dtype=dtype,
+                           name=f"g{g}_post")(feat)
+            feat = feat + group_in
+        feat = nn.Conv(c, (3, 3), padding=1, dtype=dtype, name="rir_post")(feat)
+        feat = feat + rir_in
+
+        r = cfg.upscale_factor
+        y = nn.Conv(c * r * r, (3, 3), padding=1, dtype=dtype, name="up")(feat)
+        y = pixel_shuffle(y, r)
+        outputs = nn.Conv(cfg.output_channels, (3, 3), padding=1, dtype=dtype,
+                          name="post")(y).astype(jnp.float32)
+
+        # residual diagnostic = output minus upsampled input; the reference
+        # subtracts mismatched channel counts when len(channel_mask) !=
+        # output_channels (rcan.py:118-120, a latent bug noted in SURVEY.md) -
+        # here extra output channels (e.g. AO) pass through unchanged instead.
+        cm = len(cfg.channel_mask)
+        resized = resize(inputs[..., :cm].astype(jnp.float32),
+                         size=(outputs.shape[-3], outputs.shape[-2]),
+                         method="bilinear")
+        residual = jnp.concatenate(
+            [outputs[..., :cm] - resized, outputs[..., cm:]], axis=-1)
+        outputs = jnp.clip(outputs, 0.0, 1.0)
+        return outputs, residual
+
+
+class TecoGAN(nn.Module):
+    """TecoGAN-style generator (parity: `models/tecogan.py:41-81`):
+    EnhanceNet body with LeakyReLU activations and learned (transposed-conv)
+    x2 upsampling stages."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, inputs, train: bool = False):
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.compute_dtype)
+        c = cfg.num_features
+        x = inputs.astype(dtype)
+        feat = nn.leaky_relu(
+            nn.Conv(c, (3, 3), padding=1, dtype=dtype, name="pre")(x))
+        for i in range(cfg.num_residual_blocks):
+            y = nn.Conv(c, (3, 3), padding=1, dtype=dtype,
+                        name=f"block{i}_conv1")(feat)
+            y = nn.leaky_relu(y)
+            y = nn.Conv(c, (3, 3), padding=1, dtype=dtype,
+                        name=f"block{i}_conv2")(y)
+            feat = feat + y
+        y = nn.ConvTranspose(c, (3, 3), strides=(2, 2), dtype=dtype,
+                             name="up1")(feat)
+        y = nn.leaky_relu(y)
+        y = nn.ConvTranspose(c, (3, 3), strides=(2, 2), dtype=dtype,
+                             name="up2")(y)
+        y = nn.leaky_relu(y)
+        y = nn.Conv(cfg.output_channels, (3, 3), padding=1, dtype=dtype,
+                    name="out")(y)
+        outputs = nn.leaky_relu(y).astype(jnp.float32)
+        return _recon_image(inputs.astype(jnp.float32), outputs,
+                            len(cfg.channel_mask), cfg.output_channels,
+                            cfg.recon_type, "bilinear")
+
+
+class SubpixelNet(nn.Module):
+    """ESPCN-style 5-conv net with PixelShuffle (parity:
+    `models/subpixelnet.py:7-34`).  Returns (output, None)."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, inputs, train: bool = False):
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.compute_dtype)
+        r = cfg.upscale_factor
+        init = _orthogonal_relu_init()
+        x = inputs.astype(dtype)
+        x = nn.relu(nn.Conv(64, (5, 5), padding=2, dtype=dtype,
+                            kernel_init=init, name="conv1")(x))
+        x = nn.relu(nn.Conv(64, (5, 5), padding=2, dtype=dtype,
+                            kernel_init=init, name="conv2")(x))
+        x = nn.relu(nn.Conv(64, (3, 3), padding=1, dtype=dtype,
+                            kernel_init=init, name="conv3")(x))
+        x = nn.relu(nn.Conv(32, (3, 3), padding=1, dtype=dtype,
+                            kernel_init=init, name="conv4")(x))
+        x = nn.Conv(cfg.output_channels * r * r, (3, 3), padding=1,
+                    dtype=dtype,
+                    kernel_init=nn.initializers.orthogonal(),
+                    name="conv5")(x)
+        out = pixel_shuffle(x, r).astype(jnp.float32)
+        return out, None
+
+
+_MODELS = {
+    "enhancenet": EnhanceNet,
+    "rcan": RCAN,
+    "tecogan": TecoGAN,
+    "subpixelnet": SubpixelNet,
+}
+
+
+def create_network(cfg: ModelConfig) -> nn.Module:
+    """Name -> generator module (parity: `models/__init__.py:21-49`)."""
+    key = cfg.model.lower()
+    if key not in _MODELS:
+        raise ValueError(f"Unknown model {cfg.model}")
+    return _MODELS[key](cfg=cfg)
+
+
+def network_input_channels(cfg: ModelConfig, temporal: bool = True) -> int:
+    """Total input channels: low-res channels + flattened warped previous
+    high-res frame (parity: `mainVideoUnshaded.py:210-214`)."""
+    if not temporal:
+        return cfg.input_channels
+    return cfg.input_channels + cfg.output_channels * cfg.upscale_factor ** 2

@@ -1,0 +1,82 @@
+"""Image resize / pixel-(un)shuffle primitives, NHWC layout.
+
+The framework uses NHWC throughout (TPU-friendly conv layout) whereas the
+reference is NCHW torch.  Semantics follow `torch.nn.functional.interpolate`
+with its default ``align_corners=False`` (half-pixel centers), which is also
+what `jax.image.resize` implements - one code path serves both.
+
+Reference counterparts: `nn.Upsample`/`F.interpolate` used by the generators
+(`models/enhancenet.py:40-48`), the downsample-consistency loss
+(`losses/lossbuilder.py:343-377`), and `initialImage` (`utils/initial_image.py:41`).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _out_shape(x: jnp.ndarray, scale: float | None,
+               size: Tuple[int, int] | None) -> Tuple[int, ...]:
+    if size is not None:
+        h, w = size
+    else:
+        h = int(round(x.shape[-3] * scale))
+        w = int(round(x.shape[-2] * scale))
+    return x.shape[:-3] + (h, w, x.shape[-1])
+
+
+def resize(x: jnp.ndarray, *, scale: float | None = None,
+           size: Tuple[int, int] | None = None,
+           method: str = "bilinear") -> jnp.ndarray:
+    """Resize (..., H, W, C) images; method in nearest|bilinear|bicubic."""
+    shape = _out_shape(x, scale, size)
+    if method == "nearest":
+        # torch 'nearest' floors source indices: src = floor(dst * in/out)
+        in_h, in_w = x.shape[-3], x.shape[-2]
+        out_h, out_w = shape[-3], shape[-2]
+        ih = jnp.floor(jnp.arange(out_h) * (in_h / out_h)).astype(jnp.int32)
+        iw = jnp.floor(jnp.arange(out_w) * (in_w / out_w)).astype(jnp.int32)
+        ih = jnp.clip(ih, 0, in_h - 1)
+        iw = jnp.clip(iw, 0, in_w - 1)
+        return x[..., ih[:, None], iw[None, :], :]
+    if method in ("bilinear", "linear"):
+        return jax.image.resize(x, shape, method="linear")
+    if method in ("bicubic", "cubic"):
+        return jax.image.resize(x, shape, method="cubic")
+    raise ValueError(f"unknown resize method {method!r}")
+
+
+def pixel_shuffle(x: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """(..., H, W, C*r^2) -> (..., H*r, W*r, C): torch PixelShuffle in NHWC.
+
+    Channel order matches torch's NCHW PixelShuffle after layout conversion:
+    input channel index c*r*r + dy*r + dx feeds output channel c at
+    sub-pixel (dy, dx).
+    """
+    r = factor
+    *lead, h, w, c = x.shape
+    cout = c // (r * r)
+    x = x.reshape(*lead, h, w, cout, r, r)
+    # (..., h, w, cout, ry, rx) -> (..., h, ry, w, rx, cout)
+    x = jnp.moveaxis(x, (-3, -2, -1), (-1, -4, -2))
+    # now (..., h, ry, w, rx, cout)
+    return x.reshape(*lead, h * r, w * r, cout)
+
+
+def pixel_unshuffle(x: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """(..., H*r, W*r, C) -> (..., H, W, C*r^2): inverse of pixel_shuffle.
+
+    This is the reference's `VideoTools.flatten_high` (`models/videotools.py:8-25`)
+    in NHWC: output channel c*r*r + dy*r + dx holds input sub-pixel (dy, dx)
+    of channel c.
+    """
+    r = factor
+    *lead, hr, wr, c = x.shape
+    h, w = hr // r, wr // r
+    x = x.reshape(*lead, h, r, w, r, c)
+    # (..., h, ry, w, rx, c) -> (..., h, w, c, ry, rx)
+    x = jnp.moveaxis(x, (-4, -2), (-2, -1))
+    return x.reshape(*lead, h, w, c * r * r)

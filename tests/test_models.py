@@ -1,0 +1,216 @@
+"""Model-layer tests: temporal tools, shading, generator zoo."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from isosurfacesuperresolution_tpu.config import ModelConfig, ShadingConfig
+from isosurfacesuperresolution_tpu.models.generators import (
+    create_network, network_input_channels)
+from isosurfacesuperresolution_tpu.models.videotools import (
+    flatten_high, warp_upscale, initial_image)
+from isosurfacesuperresolution_tpu.render.shading import (
+    screen_space_shading, safe_normalize)
+
+
+# ---------------------------------------------------------------------------
+# VideoTools
+# ---------------------------------------------------------------------------
+
+def _torch_warp_upscale(image_high, flow_low, factor, special_mask):
+    """The reference's warp_upscale (models/videotools.py:51-87), NCHW."""
+    import torch
+    import torch.nn.functional as F
+    image_high = torch.from_numpy(image_high)
+    flow_low = torch.from_numpy(flow_low)
+    flow_x, flow_y = torch.chunk(flow_low, 2, dim=1)
+    flow2 = torch.cat((flow_x * -2.0, flow_y * 2.0), dim=1)
+    flow_high = F.interpolate(flow2, scale_factor=factor, mode="bilinear")
+    flow_high = flow_high.permute(0, 2, 3, 1)
+    _, H, W, _ = flow_high.shape
+    gh = torch.linspace(-1, 1, H).unsqueeze(1)
+    gw = torch.linspace(-1, 1, W).unsqueeze(0)
+    offs = torch.stack(torch.broadcast_tensors(gw, gh), dim=2).unsqueeze(0)
+    grid = offs + flow_high
+    if special_mask:
+        image_high = torch.cat(
+            [image_high[:, 0:1] * 0.5 + 0.5, image_high[:, 1:]], dim=1)
+    warped = F.grid_sample(image_high, grid, align_corners=False)
+    if special_mask:
+        warped = torch.cat(
+            [warped[:, 0:1] * 2 - 1, warped[:, 1:]], dim=1)
+    return warped.numpy()
+
+
+@pytest.mark.parametrize("special_mask", [False, True])
+def test_warp_upscale_matches_reference(special_mask):
+    pytest.importorskip("torch")
+    rng = np.random.RandomState(0)
+    img = rng.rand(2, 6, 16, 16).astype(np.float32)      # NCHW high-res
+    flow = (rng.rand(2, 2, 4, 4).astype(np.float32) - 0.5) * 0.2
+    ref = _torch_warp_upscale(img, flow, 4, special_mask)
+    got = np.asarray(warp_upscale(
+        jnp.asarray(img.transpose(0, 2, 3, 1)),
+        jnp.asarray(flow.transpose(0, 2, 3, 1)),
+        4, special_mask=special_mask)).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_flatten_high_shape_and_inverse():
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.rand(3, 32, 32, 6).astype(np.float32))
+    flat = flatten_high(x, 4)
+    assert flat.shape == (3, 8, 8, 96)
+    from isosurfacesuperresolution_tpu.ops.resize import pixel_shuffle
+    np.testing.assert_allclose(np.asarray(pixel_shuffle(flat, 4)),
+                               np.asarray(x))
+
+
+def test_zero_flow_warp_is_near_identity():
+    rng = np.random.RandomState(2)
+    img = jnp.asarray(rng.rand(1, 32, 32, 4).astype(np.float32))
+    flow = jnp.zeros((1, 8, 8, 2), jnp.float32)
+    warped = np.asarray(warp_upscale(img, flow, 4))
+    # linspace(-1,1) grid + align_corners=False sampling introduces a
+    # half-pixel-ish shift at borders (a reference quirk we reproduce);
+    # interior pixels shift by < 1 px, so values stay close
+    diff = np.abs(warped[:, 8:-8, 8:-8] - np.asarray(img)[:, 8:-8, 8:-8])
+    assert diff.mean() < 0.1
+
+
+def test_initial_image_modes():
+    x = jnp.zeros((2, 8, 8, 5), jnp.float32)
+    z = initial_image(x, 6, "zero")
+    assert z.shape == (2, 32, 32, 6)
+    assert float(jnp.abs(z).max()) == 0.0
+
+    u = initial_image(x, 6, "unshaded")
+    np.testing.assert_allclose(np.asarray(u[0, 0, 0]),
+                               [-1, 0, 0, 1, 0.5, 1])
+    u5 = initial_image(x, 5, "unshaded")
+    np.testing.assert_allclose(np.asarray(u5[0, 0, 0]), [-1, 0, 0, 1, 0.5])
+    ua = initial_image(x, 6, "unshaded", ao_inverted=True)
+    assert float(ua[0, 0, 0, 5]) == 0.0
+
+    i = initial_image(x + 0.25, 6, "input")
+    assert i.shape == (2, 32, 32, 6)
+    np.testing.assert_allclose(np.asarray(i[..., :5]), 0.25, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(i[..., 5]), 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Screen-space shading
+# ---------------------------------------------------------------------------
+
+def _torch_reference_shading(buf_nchw, cfg: ShadingConfig):
+    """Direct port of utils/shading.py:148-191 for cross-checking."""
+    import torch
+    inp = torch.from_numpy(buf_nchw)
+    B, C, H, W = inp.shape
+    mask = inp[:, 0:1]
+    normal = inp[:, 1:4]
+    ao_strength = cfg.ao_strength
+    if C >= 6:
+        ao = ao_strength * torch.clamp(inp[:, 5:6], 0, 1) + (1 - ao_strength)
+    else:
+        ao = torch.ones_like(mask)
+    amb = torch.tensor(cfg.ambient_color).view(1, 3, 1, 1).float()
+    dif = torch.tensor(cfg.diffuse_color).view(1, 3, 1, 1).float()
+    spec = torch.tensor(cfg.specular_color).view(1, 3, 1, 1).float()
+    mat = torch.tensor(cfg.material_color).view(1, 3, 1, 1).float()
+    light = np.asarray(cfg.light_direction, np.float32)
+    light = torch.from_numpy(light / np.linalg.norm(light)).view(1, 3, 1, 1)
+    bg = torch.tensor(cfg.background).view(1, 3, 1, 1).float()
+
+    color = torch.zeros((B, 3, H, W))
+    color += amb * mat
+    dfac = torch.abs(torch.sum(light * normal, dim=1, keepdim=True))
+    color += dif * mat * dfac
+    if cfg.enable_specular:
+        reflect = 2 * torch.sum(light * normal, dim=1, keepdim=True) * normal - light
+        sfac = ((cfg.specular_exponent + 2) / (2 * np.pi)) * (
+            torch.clamp(reflect[:, 2:3], 0, 1) ** cfg.specular_exponent)
+        color += sfac * spec
+    color *= ao
+    t = torch.clamp(mask * 0.5 + 0.5, 0, 1)
+    color = bg + t * (color - bg)
+    return torch.clamp(color, 0, 1).numpy()
+
+
+@pytest.mark.parametrize("specular", [False, True])
+def test_shading_matches_reference(specular):
+    pytest.importorskip("torch")
+    rng = np.random.RandomState(3)
+    buf = rng.rand(2, 6, 12, 12).astype(np.float32)
+    buf[:, 0] = buf[:, 0] * 2 - 1       # mask in [-1,1]
+    n = buf[:, 1:4]
+    buf[:, 1:4] = n / np.linalg.norm(n, axis=1, keepdims=True)
+    cfg = ShadingConfig(enable_specular=specular, ao_strength=0.8,
+                        specular_color=(0.2, 0.2, 0.2))
+    ref = _torch_reference_shading(buf, cfg)
+    got = np.asarray(screen_space_shading(
+        jnp.asarray(buf.transpose(0, 2, 3, 1)), cfg)).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_safe_normalize_zero_vector():
+    v = jnp.zeros((4, 3))
+    out = np.asarray(safe_normalize(v))
+    assert np.all(np.isfinite(out))
+    np.testing.assert_allclose(out, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Generators
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("name", ["EnhanceNet", "RCAN", "TecoGAN",
+                                  "SubpixelNet"])
+def test_generator_shapes(name):
+    cfg = ModelConfig(model=name,
+                      num_residual_blocks=2)   # small for test speed
+    if name == "RCAN":
+        net = create_network(cfg)
+        net = type(net)(cfg=cfg, num_groups=1, num_blocks=2)
+    else:
+        net = create_network(cfg)
+    cin = network_input_channels(cfg)
+    assert cin == 5 + 6 * 16
+    x = jnp.zeros((2, 8, 8, cin), jnp.float32)
+    params = net.init(jax.random.PRNGKey(0), x)
+    out, residual = net.apply(params, x)
+    assert out.shape == (2, 32, 32, 6)
+    if name != "SubpixelNet":
+        assert residual.shape == (2, 32, 32, 6)
+
+
+def test_enhancenet_residual_reconstruction():
+    """Zero network output (untrained-ish) => recon ~ upsampled input for the
+    masked channels; check the reconstruction identity explicitly."""
+    cfg = ModelConfig(num_residual_blocks=1)
+    net = create_network(cfg)
+    cin = network_input_channels(cfg)
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.rand(1, 4, 4, cin).astype(np.float32))
+    params = net.init(jax.random.PRNGKey(0), x)
+    out, residual = net.apply(params, x)
+    from isosurfacesuperresolution_tpu.ops.resize import resize
+    up = np.asarray(resize(x[..., :5], size=(16, 16), method="bilinear"))
+    # recon = upsampled(masked input) + residual for the first 5 channels
+    np.testing.assert_allclose(np.asarray(out[..., :5]),
+                               up + np.asarray(residual[..., :5]), atol=1e-5)
+    # 6th channel (AO) passes through from the network output
+    np.testing.assert_allclose(np.asarray(out[..., 5]),
+                               np.asarray(residual[..., 5]), atol=1e-6)
+
+
+def test_enhancenet_bf16_compute():
+    cfg = ModelConfig(num_residual_blocks=1, compute_dtype="bfloat16")
+    net = create_network(cfg)
+    cin = network_input_channels(cfg)
+    x = jnp.ones((1, 4, 4, cin), jnp.float32)
+    params = net.init(jax.random.PRNGKey(0), x)
+    out, _ = net.apply(params, x)
+    assert out.dtype == jnp.float32
+    assert np.isfinite(np.asarray(out)).all()
