@@ -336,6 +336,19 @@ def render_gbuffer(grid: BrickGrid,
     color = color + specular * spec_norm * rdotv ** cfg.specular_exponent
 
     # ---- flow + depth + view-space normal (render_kernel.cu:239-249) ----
+    # Stored flow is 0.5 * (ndc_cur - ndc_flowcam) in OUR conventions
+    # (ndc x right, ndc y up, image rows top-down).  With ``cam_flow`` = the
+    # PREVIOUS frame's camera, this packing makes the reference-semantics
+    # `warp_upscale` (flow_x * -2, flow_y * +2 + grid_sample,
+    # videotools.py:65-68) *exactly* sample the previous frame at the current
+    # pixel's surface point - verified by the cross-frame warp test.
+    #
+    # NOTE on reference parity: the reference kernel computes
+    # 0.5 * (cur - next) (render_kernel.cu:245) but its consumers disagree on
+    # signs (CPU pipe negates, CPURenderer.cpp:736-737; GPU DLL does not;
+    # FlowTest.py scales both axes by -2 while videotools uses -2/+2).  This
+    # framework uses ONE convention everywhere: flow is always w.r.t. the
+    # previous camera, and the warp at frame t uses frame t's own flow.
     mvp_cur = cam.mvp(W, H)
     mvp_flow = cam_flow.mvp(W, H)
     ndc_cur = project(mvp_cur, hit_world)

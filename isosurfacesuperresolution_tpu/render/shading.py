@@ -23,9 +23,14 @@ from isosurfacesuperresolution_tpu.config import ShadingConfig
 
 def safe_normalize(v: jnp.ndarray, axis: int = -1,
                    epsilon: float = 1e-7) -> jnp.ndarray:
-    """Zero-safe vector normalization (parity: `shading.py:193-207`)."""
-    length = jnp.maximum(
-        jnp.linalg.norm(v, axis=axis, keepdims=True), epsilon)
+    """Zero-safe vector normalization (parity: `shading.py:193-207`).
+
+    The max is taken *under* the square root so the gradient at exactly-zero
+    vectors is zero instead of NaN (jnp.linalg.norm's gradient at 0 is NaN;
+    zero vectors are guaranteed by the loss's zero-padded borders).
+    """
+    sq = jnp.sum(v * v, axis=axis, keepdims=True)
+    length = jnp.sqrt(jnp.maximum(sq, epsilon * epsilon))
     return v / length
 
 

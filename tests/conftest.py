@@ -7,10 +7,17 @@ benchmarking happens in bench.py, not in the unit-test suite.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# hard override: the image's sitecustomize registers the tunneled-TPU "axon"
+# PJRT plugin in every process and re-sets jax_platforms after import, so the
+# env var alone is not enough - update the jax config explicitly too.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,191 @@
+"""Training-loop tests: recurrence correctness, loss descent, checkpoints,
+adversarial steps.  All with tiny models/clips so the CPU suite stays fast."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from isosurfacesuperresolution_tpu.config import (
+    Config, LossConfig, ModelConfig, TrainConfig)
+from isosurfacesuperresolution_tpu.losses.lossnet_unshaded import (
+    LossNetUnshaded)
+from isosurfacesuperresolution_tpu.models.generators import create_network
+from isosurfacesuperresolution_tpu.train.trainer import (
+    TrainState, clamp_output, create_train_state, make_adv_train_steps,
+    make_eval_step, make_optimizer, make_train_step, epoch_learning_rate)
+from isosurfacesuperresolution_tpu.train.checkpoint import (
+    CheckpointManager, next_run_dir, write_info, save_params_npz,
+    load_params_npz)
+
+
+def _tiny_config(**loss_kw):
+    return Config(
+        model=ModelConfig(num_residual_blocks=1, num_features=8),
+        loss=LossConfig(padding=2, **loss_kw),
+        train=TrainConfig(batch_size=2, crop_size=8, num_frames=3,
+                          learning_rate=2e-3),
+    )
+
+
+def _fake_clip(rng, b=2, t=3, h=8, u=4):
+    """Synthetic clip with a *learnable* structure: high = upsampled low."""
+    low = rng.rand(b, t, h, h, 5).astype(np.float32)
+    low[..., 0] = np.sign(low[..., 0] - 0.3)
+    flow = np.zeros((b, t, h, h, 2), np.float32)
+    high = np.zeros((b, t, h * u, h * u, 6), np.float32)
+    for c in range(5):
+        high[..., c] = np.repeat(np.repeat(low[..., c], u, axis=2), u, axis=3)
+    high[..., 5] = 1.0
+    return jnp.asarray(low), jnp.asarray(flow), jnp.asarray(high)
+
+
+def test_clamp_output():
+    x = jnp.asarray(np.array([[[[-3.0, 5.0, 0.0, 0.0, 7.0, -2.0]]]]))
+    out = np.asarray(clamp_output(x))[0, 0, 0]
+    assert out[0] == -1.0
+    np.testing.assert_allclose(np.linalg.norm(out[1:4]), 1.0, atol=1e-5)
+    assert out[4] == 1.0 and out[5] == 0.0
+
+
+def test_train_step_decreases_loss():
+    cfg = _tiny_config()
+    model = create_network(cfg.model)
+    criterion = LossNetUnshaded(cfg.loss, high_res=cfg.train.crop_size * 4)
+    opt = make_optimizer(cfg)
+    state = create_train_state(cfg, model, criterion, opt,
+                               jax.random.PRNGKey(0))
+    step = make_train_step(cfg, model, criterion, opt)
+    rng = np.random.RandomState(0)
+    low, flow, high = _fake_clip(rng)
+    losses = []
+    for i in range(60):
+        state, loss = step(state, low, flow, high)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    # tiny 8-feature model: expect a clear descent, not convergence
+    assert losses[-1] < 0.75 * losses[0], losses[::8]
+
+
+def test_eval_step_psnr():
+    cfg = _tiny_config()
+    model = create_network(cfg.model)
+    criterion = LossNetUnshaded(cfg.loss, high_res=cfg.train.crop_size * 4)
+    opt = make_optimizer(cfg)
+    state = create_train_state(cfg, model, criterion, opt,
+                               jax.random.PRNGKey(0))
+    eval_step = make_eval_step(cfg, model, criterion)
+    rng = np.random.RandomState(1)
+    low, flow, high = _fake_clip(rng)
+    loss, psnr = eval_step(state.params, state.aux_params, low, flow, high)
+    assert np.isfinite(float(loss)) and np.isfinite(float(psnr))
+    assert 0 < float(psnr) < 80
+
+
+def test_disable_temporal_path():
+    cfg = _tiny_config()
+    cfg = cfg.replace(train=cfg.train.__class__(
+        **{**cfg.train.__dict__, "disable_temporal": True}))
+    model = create_network(cfg.model)
+    criterion = LossNetUnshaded(cfg.loss, high_res=cfg.train.crop_size * 4)
+    opt = make_optimizer(cfg)
+    state = create_train_state(cfg, model, criterion, opt,
+                               jax.random.PRNGKey(0))
+    step = make_train_step(cfg, model, criterion, opt)
+    rng = np.random.RandomState(2)
+    low, flow, high = _fake_clip(rng)
+    state, loss = step(state, low, flow, high)
+    assert np.isfinite(float(loss))
+
+
+def test_adversarial_steps_update_both_networks():
+    cfg = _tiny_config(losses="l1:mask:1,adv:all:0.05",
+                       discriminator="enhanceNetSmall")
+    model = create_network(cfg.model)
+    criterion = LossNetUnshaded(cfg.loss, high_res=cfg.train.crop_size * 4)
+    gen_opt = make_optimizer(cfg)
+    discr_opt = make_optimizer(cfg)
+    state = create_train_state(cfg, model, criterion, gen_opt,
+                               jax.random.PRNGKey(0),
+                               discr_optimizer=discr_opt)
+    d_step, g_step = make_adv_train_steps(cfg, model, criterion, gen_opt,
+                                          discr_opt)
+    rng = np.random.RandomState(3)
+    low, flow, high = _fake_clip(rng)
+
+    d_before = jax.tree_util.tree_leaves(state.discr_params)[0].copy()
+    g_before = jax.tree_util.tree_leaves(state.params)[0].copy()
+    state, d_loss, gt_s, pred_s = d_step(state, low, flow, high,
+                                         jax.random.PRNGKey(1))
+    assert np.isfinite(float(d_loss))
+    d_after = jax.tree_util.tree_leaves(state.discr_params)[0]
+    assert float(jnp.abs(d_after - d_before).max()) > 0
+
+    state, g_loss = g_step(state, low, flow, high)
+    assert np.isfinite(float(g_loss))
+    g_after = jax.tree_util.tree_leaves(state.params)[0]
+    assert float(jnp.abs(g_after - g_before).max()) > 0
+
+
+def test_lr_schedule():
+    cfg = _tiny_config()
+    lr0 = epoch_learning_rate(cfg, 0)
+    assert lr0 == cfg.train.learning_rate
+    lr_decayed = epoch_learning_rate(cfg, cfg.train.lr_step)
+    np.testing.assert_allclose(lr_decayed, lr0 * cfg.train.lr_gamma)
+
+
+def test_run_dir_numbering(tmp_path):
+    base = str(tmp_path / "runs")
+    d1 = next_run_dir(base)
+    d2 = next_run_dir(base)
+    assert d1.endswith("run00001")
+    assert d2.endswith("run00002")
+    cfg = _tiny_config()
+    write_info(d1, cfg)
+    assert os.path.exists(os.path.join(d1, "info.txt"))
+    assert os.path.exists(os.path.join(d1, "config.json"))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = _tiny_config()
+    model = create_network(cfg.model)
+    criterion = LossNetUnshaded(cfg.loss, high_res=cfg.train.crop_size * 4)
+    opt = make_optimizer(cfg)
+    state = create_train_state(cfg, model, criterion, opt,
+                               jax.random.PRNGKey(0))
+    step = make_train_step(cfg, model, criterion, opt)
+    rng = np.random.RandomState(4)
+    low, flow, high = _fake_clip(rng)
+    state, _ = step(state, low, flow, high)
+
+    mgr = CheckpointManager(str(tmp_path / "run"))
+    mgr.save(1, state)
+    assert mgr.latest_epoch() == 1
+
+    fresh = create_train_state(cfg, model, criterion, opt,
+                               jax.random.PRNGKey(99))
+    restored, epoch = mgr.restore(fresh)
+    assert epoch == 1
+    a = jax.tree_util.tree_leaves(state.params)
+    b = jax.tree_util.tree_leaves(restored.params)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+
+
+def test_params_npz_roundtrip(tmp_path):
+    cfg = _tiny_config()
+    model = create_network(cfg.model)
+    from isosurfacesuperresolution_tpu.models.generators import (
+        network_input_channels)
+    x = jnp.zeros((1, 8, 8, network_input_channels(cfg.model)))
+    params = model.init(jax.random.PRNGKey(0), x)
+    path = str(tmp_path / "gen.npz")
+    save_params_npz(path, params)
+    params2 = model.init(jax.random.PRNGKey(5), x)
+    loaded = load_params_npz(path, params2)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(loaded)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
