@@ -1,0 +1,134 @@
+"""Fused interactive inference: raycast -> warp -> network -> shade, one jit.
+
+Parity target: the `mainGUI.updateImage` loop (`mainGUI.py:642-877`) +
+`LoadedModel.inference` (`inference/loadedmodel.py:70-120`).  The reference
+crosses a DLL boundary for the raycast, hops to the CPU for cv2 flow
+inpainting, then back to the GPU for warp + network + shading.  Here the
+whole frame is ONE XLA program: the renderer output never leaves the device,
+inpainting is the on-device diffusion fill, and the recurrent high-res state
+is donated buffer-to-buffer between frames.
+
+The BASELINE.json target ("fused end-to-end inference ... >30 FPS at 1080p
+from 480x270 raycasts") is this module's `InferencePipeline.frame`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from isosurfacesuperresolution_tpu.config import (
+    Config, RenderConfig, ShadingConfig)
+from isosurfacesuperresolution_tpu.models.videotools import (
+    flatten_high, initial_image, warp_upscale)
+from isosurfacesuperresolution_tpu.ops.inpaint import inpaint_flow
+from isosurfacesuperresolution_tpu.ops.resize import resize
+from isosurfacesuperresolution_tpu.render.camera import CameraParams
+from isosurfacesuperresolution_tpu.render.raycast import (
+    gbuffer_to_low_input, render_gbuffer)
+from isosurfacesuperresolution_tpu.render.shading import screen_space_shading
+from isosurfacesuperresolution_tpu.train.trainer import clamp_output
+from isosurfacesuperresolution_tpu.volume.grid import BrickGrid
+
+
+class FrameState(NamedTuple):
+    """Recurrent state carried between frames."""
+
+    prev_high: jnp.ndarray        # (1, H, W, 6) previous prediction
+    has_prev: jnp.ndarray         # scalar bool (first frame -> initial image)
+
+
+def make_fused_frame(model, cfg: Config, render_cfg: RenderConfig,
+                     upscale_mode: str = "network",
+                     donate: bool = True):
+    """Build the jit'd fused frame function.
+
+    Returns ``frame(params, grid, cam, cam_prev, state) ->
+    (rgb (Hh, Wh, 3), low_gbuffer, new_state)``.
+
+    upscale_mode: network | nearest | bilinear | bicubic | input
+    (parity: the mode switch of `mainGUI.py:732-754`).
+    """
+    m = cfg.model
+    u = m.upscale_factor
+    shading_cfg = cfg.shading
+
+    def frame(params, grid: BrickGrid, cam: CameraParams,
+              cam_prev: CameraParams, state: FrameState):
+        fr = render_gbuffer(grid, cam, cam_prev, render_cfg)
+        low = gbuffer_to_low_input(fr)[None]                  # (1,h,w,5)
+        flow = fr[None, ..., 8:10]
+        mask = fr[None, ..., 3:4]
+        flow = inpaint_flow(flow, mask, iterations=8)
+
+        if upscale_mode == "network":
+            init_prev = initial_image(low, m.output_channels,
+                                      "unshaded", False, u)
+            prev = jnp.where(state.has_prev, state.prev_high, init_prev)
+            warped = warp_upscale(prev, flow, u, special_mask=True)
+            net_in = jnp.concatenate([low, flatten_high(warped, u)], axis=-1)
+            pred, _ = model.apply(params, net_in)
+            out_high = clamp_output(pred)
+        elif upscale_mode in ("nearest", "bilinear", "bicubic"):
+            out_high = resize(low, scale=float(u), method=upscale_mode)
+            ao = jnp.ones_like(out_high[..., :1])
+            out_high = jnp.concatenate([out_high, ao], axis=-1)
+        else:
+            raise ValueError(f"unknown upscale mode {upscale_mode!r}")
+
+        rgb = screen_space_shading(out_high, shading_cfg)[0]
+        new_state = FrameState(prev_high=out_high,
+                               has_prev=jnp.ones((), bool))
+        return rgb, fr, new_state
+
+    donate_args = (4,) if donate else ()
+    return jax.jit(frame, donate_argnums=donate_args)
+
+
+def initial_state(cfg: Config, render_cfg: RenderConfig) -> FrameState:
+    m = cfg.model
+    u = m.upscale_factor
+    h, w = render_cfg.height, render_cfg.width
+    return FrameState(
+        prev_high=jnp.zeros((1, h * u, w * u, m.output_channels),
+                            jnp.float32),
+        has_prev=jnp.zeros((), bool))
+
+
+@dataclasses.dataclass
+class InferencePipeline:
+    """Stateful convenience wrapper around the fused frame function.
+
+    The reference analogue is `LoadedModel` + the GUI render loop; camera
+    history is tracked here so each frame's flow is computed against the
+    previous camera (`GPURendererDirect.cpp:436-442`).
+    """
+
+    model: Any
+    params: Any
+    cfg: Config
+    render_cfg: RenderConfig
+    upscale_mode: str = "network"
+
+    def __post_init__(self):
+        self._frame = make_fused_frame(self.model, self.cfg, self.render_cfg,
+                                       self.upscale_mode)
+        self._state = initial_state(self.cfg, self.render_cfg)
+        self._last_cam: Optional[CameraParams] = None
+
+    def reset(self):
+        self._state = initial_state(self.cfg, self.render_cfg)
+        self._last_cam = None
+
+    def frame(self, grid: BrickGrid, cam: CameraParams) -> jnp.ndarray:
+        """Render + super-resolve + shade one frame; returns (Hh, Wh, 3)."""
+        cam_prev = self._last_cam if self._last_cam is not None else cam
+        rgb, _, self._state = self._frame(self.params, grid, cam, cam_prev,
+                                          self._state)
+        self._last_cam = cam
+        return rgb
