@@ -1,0 +1,287 @@
+"""CLI trainer for unshaded video super-resolution networks.
+
+Parity target: `mainVideoUnshaded.py` - same CLI vocabulary (losses DSL,
+model zoo, initial-image modes, adversarial options, run-dir numbering,
+tensorboard scalars, per-epoch checkpoints), re-hosted on the JAX training
+stack.  Data can come from (a) reference-format npy clip directories, or
+(b) the built-in renderer-in-the-loop generator over analytic volumes or
+RAW/.dat files - no external renderer process (SURVEY.md section 7).
+
+Usage examples:
+  python -m isosurfacesuperresolution_tpu.apps.main_video_unshaded \
+      --dataset analytic:blobs --samples 200 --epochs 5
+  python -m isosurfacesuperresolution_tpu.apps.main_video_unshaded \
+      --dataset /path/to/clips --losses l1:mask:1,l1:normal:10
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from typing import List, Tuple
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="Video super-resolution trainer (unshaded nets)")
+    # dataset (reference: --dataset, mainVideoUnshaded.py:37-44)
+    p.add_argument("--dataset", type=str, default="analytic:blobs",
+                   help="npy clip dir / index file, or analytic:<name> "
+                        "(sphere|torus|gyroid|blobs), or a .dat/.raw volume")
+    p.add_argument("--numberOfImages", type=int, default=8,
+                   help="sequences to generate for analytic datasets")
+    p.add_argument("--testFraction", type=float, default=0.2)
+    # model (reference :45-56)
+    p.add_argument("--model", type=str, default="EnhanceNet")
+    p.add_argument("--upsample", type=str, default="bilinear")
+    p.add_argument("--reconType", type=str, default="residual")
+    p.add_argument("--useBN", action="store_true")
+    p.add_argument("--numResidualLayers", type=int, default=10)
+    p.add_argument("--upscaleFactor", type=int, default=4)
+    p.add_argument("--computeDtype", type=str, default="float32")
+    # training (reference :57-69)
+    p.add_argument("--samples", type=int, default=500)
+    p.add_argument("--cropSize", type=int, default=32)
+    p.add_argument("--numFrames", type=int, default=10)
+    p.add_argument("--batchSize", type=int, default=16)
+    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--lrGamma", type=float, default=0.5)
+    p.add_argument("--lrStep", type=int, default=500)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--initialImage", type=str, default="zero",
+                   choices=["zero", "unshaded", "input"])
+    p.add_argument("--disableTemporal", action="store_true")
+    p.add_argument("--augment", action="store_true")
+    p.add_argument("--remat", action="store_true",
+                   help="jax.checkpoint the frame body (memory vs flops)")
+    # losses (reference :70-90)
+    p.add_argument("--losses", type=str,
+                   default="l1:mask:1,l1:ao:1,l1:normal:10,l1:depth:10,"
+                           "temp-l2:color:0.1")
+    p.add_argument("--perceptualLossLayers", type=str,
+                   default="conv_4:1,conv_12:1")
+    p.add_argument("--textureLossLayers", type=str,
+                   default="conv_1:1,conv_3:1,conv_5:1")
+    p.add_argument("--discriminator", type=str, default="enhanceNetLarge")
+    p.add_argument("--lossAmbient", type=float, default=0.1)
+    p.add_argument("--lossDiffuse", type=float, default=1.0)
+    p.add_argument("--lossSpecular", type=float, default=0.0)
+    p.add_argument("--lossAO", type=float, default=1.0)
+    p.add_argument("--lossBorderPadding", type=int, default=16)
+    # adversarial (reference :91-101)
+    p.add_argument("--advTraining", action="store_true")
+    p.add_argument("--advDiscrLr", type=float, default=1e-4)
+    p.add_argument("--advDiscrMaxSteps", type=int, default=1)
+    p.add_argument("--advGenMaxSteps", type=int, default=1)
+    # run management (reference :102-116, 181-195)
+    p.add_argument("--runDir", type=str, default="runs")
+    p.add_argument("--restore", type=str, default=None,
+                   help="run dir to restore from")
+    p.add_argument("--restoreEpoch", type=int, default=None)
+    p.add_argument("--checkpointEvery", type=int, default=1)
+    # parallel
+    p.add_argument("--dataParallel", type=int, default=1,
+                   help="devices on the batch axis (mesh size)")
+    return p
+
+
+def make_config(args) -> "Config":
+    from isosurfacesuperresolution_tpu.config import (
+        Config, LossConfig, ModelConfig, ParallelConfig, TrainConfig)
+    return Config(
+        model=ModelConfig(
+            model=args.model, upscale_factor=args.upscaleFactor,
+            upsample=args.upsample, recon_type=args.reconType,
+            use_bn=args.useBN, num_residual_blocks=args.numResidualLayers,
+            compute_dtype=args.computeDtype),
+        loss=LossConfig(
+            losses=args.losses,
+            perceptual_loss_layers=args.perceptualLossLayers,
+            texture_loss_layers=args.textureLossLayers,
+            discriminator=args.discriminator,
+            loss_ambient=args.lossAmbient, loss_diffuse=args.lossDiffuse,
+            loss_specular=args.lossSpecular, loss_ao=args.lossAO,
+            padding=args.lossBorderPadding),
+        train=TrainConfig(
+            batch_size=args.batchSize, crop_size=args.cropSize,
+            num_frames=args.numFrames, samples=args.samples,
+            test_fraction=args.testFraction, epochs=args.epochs,
+            learning_rate=args.lr, lr_gamma=args.lrGamma,
+            lr_step=args.lrStep, seed=args.seed,
+            initial_image_mode=args.initialImage,
+            disable_temporal=args.disableTemporal, augment=args.augment,
+            adv_training=args.advTraining, discr_lr=args.advDiscrLr,
+            discr_steps=args.advDiscrMaxSteps,
+            gen_steps=args.advGenMaxSteps, remat=args.remat,
+            run_dir_base=args.runDir,
+            checkpoint_every=args.checkpointEvery),
+        parallel=ParallelConfig(data_parallel=args.dataParallel),
+    )
+
+
+def load_sequences(args, cfg):
+    """Dataset resolution: npy dirs, analytic generator, or RAW volumes."""
+    from isosurfacesuperresolution_tpu.config import RenderConfig
+    from isosurfacesuperresolution_tpu.data.dataset import (
+        load_reference_npy_dir)
+    from isosurfacesuperresolution_tpu.data.generation import (
+        SequenceConfig, generate_sequences)
+    from isosurfacesuperresolution_tpu.volume import analytic
+
+    spec = args.dataset
+    if spec.startswith("analytic:"):
+        name = spec.split(":", 1)[1]
+        makers = {"sphere": analytic.sphere_volume,
+                  "torus": analytic.torus_volume,
+                  "gyroid": analytic.gyroid_volume,
+                  "blobs": analytic.blobs_volume}
+        if name not in makers:
+            raise SystemExit(f"unknown analytic volume {name}")
+        grid = makers[name](128)
+        seq_cfg = SequenceConfig(
+            num_frames=args.numFrames,
+            high_res=args.cropSize * args.upscaleFactor * 4,
+            ao_samples=64, distance_range=(1.2, 1.8))
+        base = RenderConfig(isovalue=0.5, step_voxels=0.5)
+        print(f"Generating {args.numberOfImages} sequences from "
+              f"analytic:{name} ...")
+        return generate_sequences([(grid, (0.5, 0.5))],
+                                  args.numberOfImages, seq_cfg,
+                                  base_render_cfg=base, seed=args.seed)
+    if spec.endswith((".dat", ".raw")):
+        from isosurfacesuperresolution_tpu.volume.importers import import_raw
+        grid = import_raw(spec)
+        seq_cfg = SequenceConfig(
+            num_frames=args.numFrames,
+            high_res=args.cropSize * args.upscaleFactor * 4,
+            ao_samples=64)
+        base = RenderConfig(step_voxels=0.5)
+        return generate_sequences([(grid, (0.3, 0.6))],
+                                  args.numberOfImages, seq_cfg,
+                                  base_render_cfg=base, seed=args.seed)
+    return load_reference_npy_dir(spec)
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    cfg = make_config(args)
+
+    import jax
+    from tensorboardX import SummaryWriter
+
+    from isosurfacesuperresolution_tpu.data.dataset import (
+        DatasetFromSamples, VideoDataset)
+    from isosurfacesuperresolution_tpu.losses.lossnet_unshaded import (
+        LossNetUnshaded)
+    from isosurfacesuperresolution_tpu.models.generators import (
+        create_network)
+    from isosurfacesuperresolution_tpu.parallel.mesh import (
+        make_mesh, make_sharded_train_step, replicate)
+    from isosurfacesuperresolution_tpu.train.checkpoint import (
+        CheckpointManager, next_run_dir, write_info)
+    from isosurfacesuperresolution_tpu.train.trainer import (
+        create_train_state, epoch_learning_rate, make_adv_train_steps,
+        make_eval_step, make_optimizer, make_train_step)
+
+    t = cfg.train
+    rng = np.random.RandomState(t.seed)
+
+    sequences = load_sequences(args, cfg)
+    dataset = VideoDataset(sequences, upscale_factor=cfg.model.upscale_factor)
+    samples = dataset.collect_samples(t.samples, t.crop_size,
+                                      t.min_fill_rate, rng,
+                                      augment=t.augment)
+    train_set = DatasetFromSamples(dataset, samples, t.crop_size,
+                                   test=False, test_fraction=t.test_fraction)
+    test_set = DatasetFromSamples(dataset, samples, t.crop_size,
+                                  test=True, test_fraction=t.test_fraction)
+    print(f"#sequences: {len(sequences)}, train crops: {len(train_set)}, "
+          f"test crops: {len(test_set)}")
+
+    model = create_network(cfg.model)
+    criterion = LossNetUnshaded(
+        cfg.loss, high_res=t.crop_size * cfg.model.upscale_factor)
+    optimizer = make_optimizer(cfg)
+    discr_optimizer = make_optimizer(cfg) if t.adv_training else None
+    state = create_train_state(cfg, model, criterion, optimizer,
+                               jax.random.PRNGKey(t.seed),
+                               discr_optimizer=discr_optimizer)
+
+    if t.adv_training:
+        d_step, g_step = make_adv_train_steps(cfg, model, criterion,
+                                              optimizer, discr_optimizer)
+    else:
+        train_step = make_train_step(cfg, model, criterion, optimizer)
+    eval_step = make_eval_step(cfg, model, criterion)
+
+    if cfg.parallel.data_parallel > 1:
+        mesh = make_mesh(cfg.parallel.data_parallel)
+        state = replicate(mesh, state)
+        if not t.adv_training:
+            train_step = make_sharded_train_step(train_step, mesh)
+
+    run_dir = next_run_dir(t.run_dir_base)
+    write_info(run_dir, cfg)
+    ckpt = CheckpointManager(run_dir)
+    writer = SummaryWriter(os.path.join(run_dir, "tensorboard"))
+    print("run dir:", run_dir)
+
+    start_epoch = 1
+    if args.restore:
+        restore_mgr = CheckpointManager(args.restore)
+        state, epoch = restore_mgr.restore(state, args.restoreEpoch)
+        start_epoch = epoch + 1
+        print(f"restored epoch {epoch} from {args.restore}")
+
+    for epoch in range(start_epoch, t.epochs + 1):
+        lr = epoch_learning_rate(cfg, epoch - 1)
+        state.opt_state.hyperparams["learning_rate"] = jax.numpy.asarray(lr)
+        t0 = time.time()
+        epoch_loss, n_batches = 0.0, 0
+        for low, flow, high in train_set.batches(t.batch_size, rng=rng):
+            if t.adv_training:
+                for _ in range(t.discr_steps):
+                    state, d_loss, gt_s, pred_s = d_step(
+                        state, low, flow, high,
+                        jax.random.PRNGKey(rng.randint(1 << 31)))
+                for _ in range(t.gen_steps):
+                    state, loss = g_step(state, low, flow, high)
+                writer.add_scalar("train/discr_loss", float(d_loss), epoch)
+                writer.add_scalar("train/gt_score", float(gt_s), epoch)
+                writer.add_scalar("train/pred_score", float(pred_s), epoch)
+            else:
+                state, loss = train_step(state, low, flow, high)
+            epoch_loss += float(loss)
+            n_batches += 1
+        epoch_loss /= max(n_batches, 1) * t.num_frames
+        writer.add_scalar("train/total_loss", epoch_loss, epoch)
+        writer.add_scalar("train/lr", lr, epoch)
+
+        # test pass (parity: mainVideoUnshaded.py:639-726)
+        test_loss, test_psnr, n_test = 0.0, 0.0, 0
+        for low, flow, high in test_set.batches(t.batch_size, shuffle=False,
+                                                drop_last=False):
+            l, p = eval_step(state.params, state.aux_params, low, flow, high)
+            test_loss += float(l)
+            test_psnr += float(p)
+            n_test += 1
+        if n_test:
+            writer.add_scalar("test/total_loss", test_loss / n_test, epoch)
+            writer.add_scalar("test/psnr", test_psnr / n_test, epoch)
+        print(f"===> Epoch {epoch}: train loss {epoch_loss:.4f}, "
+              f"test psnr {test_psnr / max(n_test, 1):.2f} dB "
+              f"({time.time() - t0:.1f}s)")
+
+        if epoch % t.checkpoint_every == 0:
+            ckpt.save(epoch, state)
+    writer.close()
+    print("done; checkpoints in", run_dir)
+
+
+if __name__ == "__main__":
+    main()
