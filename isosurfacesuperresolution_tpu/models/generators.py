@@ -119,7 +119,24 @@ class EnhanceNet(nn.Module):
         y = _Upsample2x(up_mode, cfg.num_features, dtype, name="up2")(y)
         y = nn.relu(conv(cfg.num_features, "post2")(y))
         y = nn.relu(conv(cfg.num_features, "post3")(y))
-        outputs = conv(cfg.output_channels, "out")(y).astype(jnp.float32)
+        # zero-init the output conv: with residual reconstruction the network
+        # then starts exactly as the bilinear upsampler and training only
+        # refines it (design improvement over the reference, which starts at
+        # bilinear + O(1) conv noise).  Extra channels beyond the residual
+        # mask (the AO channel in the unshaded config) get bias 1 so they
+        # start at the no-occlusion default instead of black.
+        n_extra = cfg.output_channels - len(cfg.channel_mask)
+
+        def out_bias_init(key, shape, dtype=jnp.float32):
+            b = jnp.zeros(shape, dtype)
+            if n_extra > 0:
+                b = b.at[-n_extra:].set(1.0)
+            return b
+
+        outputs = nn.Conv(cfg.output_channels, (3, 3), padding=1, dtype=dtype,
+                          kernel_init=nn.initializers.zeros,
+                          bias_init=out_bias_init,
+                          name="out")(y).astype(jnp.float32)
 
         return _recon_image(inputs.astype(jnp.float32), outputs,
                             len(cfg.channel_mask), cfg.output_channels,

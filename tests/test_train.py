@@ -65,8 +65,10 @@ def test_train_step_decreases_loss():
         state, loss = step(state, low, flow, high)
         losses.append(float(loss))
     assert np.isfinite(losses).all()
-    # tiny 8-feature model: expect a clear descent, not convergence
-    assert losses[-1] < 0.75 * losses[0], losses[::8]
+    # tiny 8-feature model starting at the bilinear identity: expect a
+    # clear, steady descent (the random-clip loss floor is high)
+    assert losses[-1] < losses[0] - 0.3, losses[::8]
+    assert losses[-1] == min(losses) or losses[-1] < losses[30], losses[::8]
 
 
 def test_eval_step_psnr():
