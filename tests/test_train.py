@@ -125,6 +125,9 @@ def test_adversarial_steps_update_both_networks():
     d_after = jax.tree_util.tree_leaves(state.discr_params)[0]
     assert float(jnp.abs(d_after - d_before).max()) > 0
 
+    # two generator steps: the zero-init output conv means upstream layers
+    # only receive gradient once the output kernel is nonzero (step 2+)
+    state, g_loss = g_step(state, low, flow, high)
     state, g_loss = g_step(state, low, flow, high)
     assert np.isfinite(float(g_loss))
     g_after = jax.tree_util.tree_leaves(state.params)[0]
