@@ -1,0 +1,179 @@
+"""Quality statistics harness: the paper's PSNR / MS-SSIM / consistency table.
+
+Parity target: `mainPSNR3_AllStats.py:100-299` - per-timestep masked PSNR and
+MS-SSIM for normal / depth / AO / color with+without AO, downsample-
+consistency L2 (mean + max), and per-channel L1 error histograms; frames with
+fill < MIN_FILLING are skipped, a BORDER-pixel rim is cropped, and SSIM is
+computed with the prediction blended onto the GT outside the mask.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from isosurfacesuperresolution_tpu.config import ShadingConfig
+from isosurfacesuperresolution_tpu.ops.metrics import msssim, psnr
+from isosurfacesuperresolution_tpu.ops.resize import resize
+from isosurfacesuperresolution_tpu.render.shading import (
+    safe_normalize, screen_space_shading)
+
+BORDER = 15          # mainPSNR3_AllStats.py:126
+MIN_FILLING = 0.05   # :127
+NUM_BINS = 200       # :128
+
+# the paper's stats shading constants (:109-119)
+STATS_SHADING = ShadingConfig(
+    ambient_color=(0.1, 0.1, 0.1),
+    diffuse_color=(1.0, 1.0, 1.0),
+    specular_color=(0.0, 0.0, 0.0),
+    specular_exponent=16,
+    enable_specular=True,
+    light_direction=(0.1, 0.1, 1.0),
+    material_color=(1.0, 0.3, 0.0),
+    ao_strength=1.0,
+)
+
+
+class Statistics:
+    """Accumulates the reference's per-timestep quality statistics."""
+
+    FIELDS = ["psnr_normal", "psnr_depth", "psnr_ao", "psnr_color_noAO",
+              "psnr_color_withAO", "ssim_normal", "ssim_depth", "ssim_ao",
+              "ssim_color_noAO", "ssim_color_withAO",
+              "l2ds_normal_mean", "l2ds_normal_max",
+              "l2ds_colorNoAO_mean", "l2ds_colorNoAO_max"]
+
+    def __init__(self, upscaling: int = 4,
+                 shading_cfg: ShadingConfig = STATS_SHADING):
+        self.upscaling = upscaling
+        self.shading_cfg = shading_cfg
+        self.histograms = {k: np.zeros(NUM_BINS, np.float64)
+                           for k in ["mask", "normal", "depth", "ao",
+                                     "color_withAO", "color_noAO"]}
+        self.histogram_counter = 0
+        self.reset()
+
+    def reset(self):
+        self.n = 0
+        for f in self.FIELDS:
+            setattr(self, f, 0.0)
+
+    # -- core ---------------------------------------------------------------
+    def add_timestep_sample(self, pred_mnda: jnp.ndarray,
+                            gt_mnda: jnp.ndarray,
+                            input_mnda: jnp.ndarray) -> bool:
+        """Add one frame; all NHWC: pred/gt (1, H, W, 6), input (1, h, w, 5).
+
+        Returns False if the frame was skipped for insufficient filling.
+        """
+        cfg = self.shading_cfg
+        pred_color_withAO = screen_space_shading(pred_mnda, cfg)
+        gt_color_withAO = screen_space_shading(gt_mnda, cfg)
+        no_ao = cfg.replace(ao_strength=0.0)
+        pred_color_noAO = screen_space_shading(pred_mnda, no_ao)
+        gt_color_noAO = screen_space_shading(gt_mnda, no_ao)
+        input_color_noAO = screen_space_shading(input_mnda, no_ao)
+
+        b2 = BORDER * self.upscaling
+        crop = lambda x: x[:, b2:-b2, b2:-b2]
+        crop_lo = lambda x: x[:, BORDER:-BORDER, BORDER:-BORDER]
+        pred_mnda = crop(pred_mnda)
+        gt_mnda = crop(gt_mnda)
+        pred_color_withAO = crop(pred_color_withAO)
+        gt_color_withAO = crop(gt_color_withAO)
+        pred_color_noAO = crop(pred_color_noAO)
+        gt_color_noAO = crop(gt_color_noAO)
+        input_mnda = crop_lo(input_mnda)
+        input_color_noAO = crop_lo(input_color_noAO)
+
+        mask = gt_mnda[..., 0:1] * 0.5 + 0.5
+        h, w = mask.shape[1], mask.shape[2]
+        if float(jnp.sum(mask)) / (h * w) < MIN_FILLING:
+            return False
+        self.n += 1
+
+        def p(a, b):
+            return float(psnr(a, b, mask=mask)[0])
+
+        self.psnr_normal += p(pred_mnda[..., 1:4], gt_mnda[..., 1:4])
+        self.psnr_depth += p(pred_mnda[..., 4:5], gt_mnda[..., 4:5])
+        self.psnr_ao += p(pred_mnda[..., 5:6], gt_mnda[..., 5:6])
+        self.psnr_color_withAO += p(pred_color_withAO, gt_color_withAO)
+        self.psnr_color_noAO += p(pred_color_noAO, gt_color_noAO)
+
+        # SSIM with pred blended onto gt outside the mask (:222)
+        pred_b = gt_mnda + mask * (pred_mnda - gt_mnda)
+        def s(a, b):
+            return float(msssim(a, b, val_range=1.0))
+        self.ssim_normal += s(pred_b[..., 1:4], gt_mnda[..., 1:4])
+        self.ssim_depth += s(pred_b[..., 4:5], gt_mnda[..., 4:5])
+        self.ssim_ao += s(pred_b[..., 5:6], gt_mnda[..., 5:6])
+        self.ssim_color_withAO += s(pred_color_withAO, gt_color_withAO)
+        self.ssim_color_noAO += s(pred_color_noAO, gt_color_noAO)
+
+        # downsample-consistency (:229-239)
+        ds = lambda x: resize(x, scale=1.0 / self.upscaling,
+                              method="bilinear")
+        ds_normal = (input_mnda[..., 1:4]
+                     - safe_normalize(ds(pred_mnda[..., 1:4]))) ** 2
+        ds_color = (input_color_noAO - ds(pred_color_noAO)) ** 2
+        self.l2ds_normal_mean += float(jnp.mean(ds_normal))
+        self.l2ds_normal_max = max(self.l2ds_normal_max,
+                                   float(jnp.max(ds_normal)))
+        self.l2ds_colorNoAO_mean += float(jnp.mean(ds_color))
+        self.l2ds_colorNoAO_max = max(self.l2ds_colorNoAO_max,
+                                      float(jnp.max(ds_color)))
+
+        # histograms of per-pixel L1 errors (:242-266)
+        self.histogram_counter += 1
+        c = self.histogram_counter
+
+        def add_hist(key, diff):
+            hist, _ = np.histogram(np.asarray(diff), bins=NUM_BINS,
+                                   range=(0, 1), density=True)
+            self.histograms[key] += (hist / NUM_BINS
+                                     - self.histograms[key]) / c
+
+        add_hist("mask", jnp.abs(gt_mnda[0, ..., 0] - pred_mnda[0, ..., 0]))
+        add_hist("normal",
+                 jnp.sum(jnp.abs(gt_mnda[0, ..., 1:4]
+                                 - pred_mnda[0, ..., 1:4]), -1) / 6)
+        add_hist("depth", jnp.abs(gt_mnda[0, ..., 4] - pred_mnda[0, ..., 4]))
+        add_hist("ao", jnp.abs(gt_mnda[0, ..., 5] - pred_mnda[0, ..., 5]))
+        add_hist("color_withAO",
+                 jnp.abs(gt_color_withAO[0, ..., 0]
+                         - pred_color_withAO[0, ..., 0]))
+        add_hist("color_noAO",
+                 jnp.abs(gt_color_noAO[0, ..., 0]
+                         - pred_color_noAO[0, ..., 0]))
+        return True
+
+    # -- output -------------------------------------------------------------
+    def means(self) -> Dict[str, float]:
+        out = {}
+        n = max(self.n, 1)
+        for f in self.FIELDS:
+            v = getattr(self, f)
+            out[f] = v if f.endswith("_max") else v / n
+        return out
+
+    @staticmethod
+    def header() -> str:
+        return ("PSNR-normal\tPSNR-depth\tPSNR-ao\tPSNR-color-noAO\t"
+                "PSNR-color-withAO\tSSIM-normal\tSSIM-depth\tSSIM-ao\t"
+                "SSIM-color-noAO\tSSIM-color-withAO\tL2-ds-normal-mean\t"
+                "L2-ds-normal-max\tL2-ds-color-noAO-mean\t"
+                "L2-ds-color-noAO-max\n")
+
+    def write_sample(self, file) -> None:
+        m = self.means()
+        file.write("\t".join("%.6f" % m[f] for f in [
+            "psnr_normal", "psnr_depth", "psnr_ao", "psnr_color_noAO",
+            "psnr_color_withAO", "ssim_normal", "ssim_depth", "ssim_ao",
+            "ssim_color_noAO", "ssim_color_withAO", "l2ds_normal_mean",
+            "l2ds_normal_max", "l2ds_colorNoAO_mean",
+            "l2ds_colorNoAO_max"]) + "\n")

@@ -1,0 +1,120 @@
+"""Checkpoint -> ready-to-run model bundle.
+
+Parity target: `inference/loadedmodel.py` - the reference re-derives the
+network configuration from a `.pth` checkpoint's saved parameter dict and the
+first conv's ``in_channels`` (`loadedmodel.py:16-68`).  Here run directories
+carry an explicit ``config.json`` (written by `train/checkpoint.write_info`),
+so reconstruction is lossless; the in-channels sniffing trick is kept as a
+fallback for bare params files.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from isosurfacesuperresolution_tpu.config import (
+    Config, LossConfig, ModelConfig, RenderConfig, TrainConfig)
+
+
+def config_from_json(path: str) -> Config:
+    """Rebuild a Config from the flattened ``config.json`` of a run dir."""
+    with open(path) as f:
+        flat = json.load(f)
+
+    def section(prefix, cls):
+        kw = {}
+        import dataclasses
+        names = {f.name: f for f in dataclasses.fields(cls)}
+        for k, v in flat.items():
+            if k.startswith(prefix + "."):
+                name = k[len(prefix) + 1:]
+                if name in names:
+                    if isinstance(v, list):
+                        v = tuple(v)
+                    kw[name] = v
+        return cls(**kw)
+
+    return Config(model=section("model", ModelConfig),
+                  loss=section("loss", LossConfig),
+                  train=section("train", TrainConfig))
+
+
+class LoadedModel:
+    """A generator + params restored from a run directory."""
+
+    def __init__(self, model, params, cfg: Config):
+        self.model = model
+        self.params = params
+        self.cfg = cfg
+        self.unshaded = cfg.model.output_channels == 6
+        self.upscale_factor = cfg.model.upscale_factor
+        self.initial_image_mode = cfg.train.initial_image_mode
+        self.inverse_ao = cfg.train.ao_inverted
+
+    @classmethod
+    def from_run_dir(cls, run_dir: str,
+                     epoch: Optional[int] = None) -> "LoadedModel":
+        from isosurfacesuperresolution_tpu.losses.lossnet_unshaded import (
+            LossNetUnshaded)
+        from isosurfacesuperresolution_tpu.models.generators import (
+            create_network)
+        from isosurfacesuperresolution_tpu.train.checkpoint import (
+            CheckpointManager)
+        from isosurfacesuperresolution_tpu.train.trainer import (
+            create_train_state, make_optimizer)
+
+        cfg = config_from_json(os.path.join(run_dir, "config.json"))
+        model = create_network(cfg.model)
+        criterion = LossNetUnshaded(
+            cfg.loss, high_res=cfg.train.crop_size * cfg.model.upscale_factor)
+        optimizer = make_optimizer(cfg)
+        state = create_train_state(cfg, model, criterion, optimizer,
+                                   jax.random.PRNGKey(0))
+        mgr = CheckpointManager(run_dir)
+        state, _ = mgr.restore(state, epoch)
+        return cls(model, state.params, cfg)
+
+    @classmethod
+    def from_params_npz(cls, path: str, cfg: Config) -> "LoadedModel":
+        """Bare-params restore: infer temporal input channels from the first
+        conv like the reference (`loadedmodel.py:36-55`)."""
+        from isosurfacesuperresolution_tpu.models.generators import (
+            create_network, network_input_channels)
+        from isosurfacesuperresolution_tpu.train.checkpoint import (
+            load_params_npz)
+        model = create_network(cfg.model)
+        cin = network_input_channels(cfg.model)
+        template = model.init(jax.random.PRNGKey(0),
+                              jnp.zeros((1, 8, 8, cin)))
+        params = load_params_npz(path, template)
+        return cls(model, params, cfg)
+
+    def inference(self, current_low: jnp.ndarray,
+                  prev_high: Optional[jnp.ndarray],
+                  flow: jnp.ndarray) -> jnp.ndarray:
+        """One super-resolution step (parity: `loadedmodel.py:70-120`).
+
+        current_low : (B, h, w, 5) network input channels.
+        prev_high   : (B, 4h, 4w, 6) previous prediction or None (frame 0).
+        flow        : (B, h, w, 2) inpainted flow w.r.t. the previous camera.
+        """
+        from isosurfacesuperresolution_tpu.models.videotools import (
+            flatten_high, initial_image, warp_upscale)
+        u = self.upscale_factor
+        if prev_high is None:
+            previous_warped = initial_image(
+                current_low, self.cfg.model.output_channels,
+                self.initial_image_mode, self.inverse_ao, u)
+        else:
+            previous_warped = warp_upscale(prev_high, flow, u,
+                                           special_mask=True)
+        net_in = jnp.concatenate(
+            [current_low, flatten_high(previous_warped, u)], axis=-1)
+        prediction, _ = self.model.apply(self.params, net_in)
+        return prediction

@@ -111,6 +111,11 @@ def msssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,
     """Multi-scale SSIM (parity: `utils/ssim.py:74-110`)."""
     weights = jnp.asarray([0.0448, 0.2856, 0.3001, 0.2363, 0.1333])
     levels = weights.shape[0]
+    min_side = min(img1.shape[1], img1.shape[2])
+    if min_side < 2 ** (levels - 1):
+        raise ValueError(
+            f"MS-SSIM needs images of at least {2 ** (levels - 1)} px per "
+            f"side (got {min_side}); 5 halving levels run out of pixels")
     mssim = []
     mcs = []
     for i in range(levels):
