@@ -45,7 +45,8 @@ class FrameState(NamedTuple):
 
 def make_fused_frame(model, cfg: Config, render_cfg: RenderConfig,
                      upscale_mode: str = "network",
-                     donate: bool = True):
+                     donate: bool = True,
+                     shading_cfg: Optional[ShadingConfig] = None):
     """Build the jit'd fused frame function.
 
     Returns ``frame(params, grid, cam, cam_prev, state) ->
@@ -56,7 +57,7 @@ def make_fused_frame(model, cfg: Config, render_cfg: RenderConfig,
     """
     m = cfg.model
     u = m.upscale_factor
-    shading_cfg = cfg.shading
+    shading_cfg = shading_cfg if shading_cfg is not None else cfg.shading
 
     def frame(params, grid: BrickGrid, cam: CameraParams,
               cam_prev: CameraParams, state: FrameState):
@@ -114,10 +115,12 @@ class InferencePipeline:
     cfg: Config
     render_cfg: RenderConfig
     upscale_mode: str = "network"
+    shading_cfg: Optional[ShadingConfig] = None
 
     def __post_init__(self):
         self._frame = make_fused_frame(self.model, self.cfg, self.render_cfg,
-                                       self.upscale_mode)
+                                       self.upscale_mode,
+                                       shading_cfg=self.shading_cfg)
         self._state = initial_state(self.cfg, self.render_cfg)
         self._last_cam: Optional[CameraParams] = None
 
