@@ -50,7 +50,7 @@ def main(argv=None):
     from isosurfacesuperresolution_tpu.models.generators import (
         create_network, network_input_channels)
     from isosurfacesuperresolution_tpu.render.camera import CameraParams
-    from isosurfacesuperresolution_tpu.render.raycast import render_gbuffer
+    from isosurfacesuperresolution_tpu.render.api import render_frame_gbuffer
 
     os.makedirs(args.output, exist_ok=True)
     grid, vol_name = load_volume(args.volume)
@@ -67,11 +67,11 @@ def main(argv=None):
                                     -1.7 * np.cos(ang)))
 
     # isolated raycast timing (the "Rendering-Time (sec)" column)
-    fr = render_gbuffer(grid, cam_at(0), cam_at(0), render_cfg)
+    fr = render_frame_gbuffer(grid, cam_at(0), cam_at(0), render_cfg)
     jax.block_until_ready(fr)
     t0 = time.time()
     for i in range(args.timed):
-        fr = render_gbuffer(grid, cam_at(i), cam_at(i), render_cfg)
+        fr = render_frame_gbuffer(grid, cam_at(i), cam_at(i), render_cfg)
     jax.block_until_ready(fr)
     render_time = (time.time() - t0) / args.timed
 

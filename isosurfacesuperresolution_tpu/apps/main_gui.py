@@ -148,8 +148,8 @@ class Viewer:
             warp_upscale)
         from isosurfacesuperresolution_tpu.ops.inpaint import inpaint_flow
         from isosurfacesuperresolution_tpu.ops.resize import resize
-        from isosurfacesuperresolution_tpu.render.raycast import (
-            render_gbuffer)
+        from isosurfacesuperresolution_tpu.render.api import (
+            render_frame_gbuffer)
         from isosurfacesuperresolution_tpu.render.shading import (
             screen_space_shading)
 
@@ -161,8 +161,8 @@ class Viewer:
                 width=self.render_cfg.width * self.upscale,
                 height=self.render_cfg.height * self.upscale,
                 ao_samples=self.ao_samples, ao_radius=self.ao_radius)
-            fr = render_gbuffer(self.grid, cam,
-                                self._last_cam or cam, high_cfg)
+            fr = render_frame_gbuffer(self.grid, cam,
+                                      self._last_cam or cam, high_cfg)
             from isosurfacesuperresolution_tpu.render.raycast import (
                 gbuffer_to_high_target)
             out_high = gbuffer_to_high_target(fr)[None]
@@ -189,8 +189,8 @@ class Viewer:
                 height=self.render_cfg.height * self.upscale,
                 ao_samples=self.ao_samples, ao_radius=self.ao_radius,
                 viewport=viewport)
-            fr = render_gbuffer(self.grid, cam, self._last_cam or cam,
-                                foc_cfg)
+            fr = render_frame_gbuffer(self.grid, cam,
+                                      self._last_cam or cam, foc_cfg)
             from isosurfacesuperresolution_tpu.render.raycast import (
                 gbuffer_to_high_target)
             foc_rgb = screen_space_shading(

@@ -54,6 +54,13 @@ class RenderConfig:
     z_near: float = 0.1
     z_far: float = 10.0
 
+    # renderer backend: "sweep" = gather-free shear-warp sweep (TPU fast
+    # path); "march" = per-ray lattice marching (reference-faithful; also
+    # the CPU/test oracle)
+    renderer: str = "sweep"
+    sweep_oversample: float = 1.5      # intermediate grid resolution factor
+    sweep_z_supersample: int = 2       # slice planes per voxel along the axis
+
     isovalue: float = 0.36
     step_voxels: float = 0.25          # march step in voxel units
                                        # (reference uses 0.05: GPURendererDirect.cpp:365;

@@ -31,9 +31,9 @@ import numpy as np
 from isosurfacesuperresolution_tpu.config import RenderConfig
 from isosurfacesuperresolution_tpu.ops.inpaint import inpaint_flow
 from isosurfacesuperresolution_tpu.render.camera import CameraParams
+from isosurfacesuperresolution_tpu.render.api import render_frame_gbuffer
 from isosurfacesuperresolution_tpu.render.raycast import (
-    gbuffer_flow, gbuffer_to_high_target, gbuffer_to_low_input,
-    render_gbuffer)
+    gbuffer_flow, gbuffer_to_high_target, gbuffer_to_low_input)
 from isosurfacesuperresolution_tpu.volume.grid import BrickGrid
 
 
@@ -129,8 +129,8 @@ def render_sequence(grid: BrickGrid, cams: Sequence[CameraParams],
     lows, highs, flows = [], [], []
     for t, cam in enumerate(cams):
         cam_prev = cams[t - 1] if t > 0 else cam
-        fr_hi = render_gbuffer(grid, cam, cam_prev, cfg_high)
-        fr_lo = render_gbuffer(grid, cam, cam_prev, cfg_low)
+        fr_hi = render_frame_gbuffer(grid, cam, cam_prev, cfg_high)
+        fr_lo = render_frame_gbuffer(grid, cam, cam_prev, cfg_low)
         highs.append(gbuffer_to_high_target(fr_hi))
         lows.append(gbuffer_to_low_input(fr_lo))
         flow = gbuffer_flow(fr_lo)[None]

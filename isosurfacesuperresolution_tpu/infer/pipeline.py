@@ -29,8 +29,8 @@ from isosurfacesuperresolution_tpu.models.videotools import (
 from isosurfacesuperresolution_tpu.ops.inpaint import inpaint_flow
 from isosurfacesuperresolution_tpu.ops.resize import resize
 from isosurfacesuperresolution_tpu.render.camera import CameraParams
-from isosurfacesuperresolution_tpu.render.raycast import (
-    gbuffer_to_low_input, render_gbuffer)
+from isosurfacesuperresolution_tpu.render.api import render_frame_gbuffer
+from isosurfacesuperresolution_tpu.render.raycast import gbuffer_to_low_input
 from isosurfacesuperresolution_tpu.render.shading import screen_space_shading
 from isosurfacesuperresolution_tpu.train.trainer import clamp_output
 from isosurfacesuperresolution_tpu.volume.grid import BrickGrid
@@ -46,7 +46,8 @@ class FrameState(NamedTuple):
 def make_fused_frame(model, cfg: Config, render_cfg: RenderConfig,
                      upscale_mode: str = "network",
                      donate: bool = True,
-                     shading_cfg: Optional[ShadingConfig] = None):
+                     shading_cfg: Optional[ShadingConfig] = None,
+                     fast_warp: bool = True):
     """Build the jit'd fused frame function.
 
     Returns ``frame(params, grid, cam, cam_prev, state) ->
@@ -54,14 +55,20 @@ def make_fused_frame(model, cfg: Config, render_cfg: RenderConfig,
 
     upscale_mode: network | nearest | bilinear | bicubic | input
     (parity: the mode switch of `mainGUI.py:732-754`).
+    fast_warp: use the gather-free shift-blend warp (`ops/warp_fast.py`,
+    ~10x faster at 1080p, displacement clamped to 8 px) instead of the exact
+    gather warp used in training.
     """
+    from isosurfacesuperresolution_tpu.ops.warp_fast import warp_upscale_fast
     m = cfg.model
     u = m.upscale_factor
     shading_cfg = shading_cfg if shading_cfg is not None else cfg.shading
+    warp_fn = (partial(warp_upscale_fast, max_disp=8) if fast_warp
+               else warp_upscale)
 
     def frame(params, grid: BrickGrid, cam: CameraParams,
               cam_prev: CameraParams, state: FrameState):
-        fr = render_gbuffer(grid, cam, cam_prev, render_cfg)
+        fr = render_frame_gbuffer(grid, cam, cam_prev, render_cfg)
         low = gbuffer_to_low_input(fr)[None]                  # (1,h,w,5)
         flow = fr[None, ..., 8:10]
         mask = fr[None, ..., 3:4]
@@ -71,7 +78,7 @@ def make_fused_frame(model, cfg: Config, render_cfg: RenderConfig,
             init_prev = initial_image(low, m.output_channels,
                                       "unshaded", False, u)
             prev = jnp.where(state.has_prev, state.prev_high, init_prev)
-            warped = warp_upscale(prev, flow, u, special_mask=True)
+            warped = warp_fn(prev, flow, u, special_mask=True)
             net_in = jnp.concatenate([low, flatten_high(warped, u)], axis=-1)
             pred, _ = model.apply(params, net_in)
             out_high = clamp_output(pred)

@@ -28,10 +28,43 @@ def _out_shape(x: jnp.ndarray, scale: float | None,
     return x.shape[:-3] + (h, w, x.shape[-1])
 
 
+def _upsample2x_bilinear(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact 2x bilinear upsample (half-pixel centers, edge clamped).
+
+    Equivalent to torch F.interpolate(scale_factor=2, mode='bilinear') /
+    jax.image.resize, but built from static shifts and fixed [1/4, 3/4]
+    stencils instead of a general resize - XLA lowers this to pure VPU
+    adds (no gathers), which matters inside the EnhanceNet post-block at
+    1080p.
+    """
+    def up_axis(a, axis):
+        lo = jnp.concatenate([jax.lax.slice_in_dim(a, 0, 1, axis=axis),
+                              jax.lax.slice_in_dim(a, 0, a.shape[axis] - 1,
+                                                   axis=axis)], axis=axis)
+        hi = jnp.concatenate([jax.lax.slice_in_dim(a, 1, a.shape[axis],
+                                                   axis=axis),
+                              jax.lax.slice_in_dim(a, a.shape[axis] - 1,
+                                                   a.shape[axis],
+                                                   axis=axis)], axis=axis)
+        even = 0.75 * a + 0.25 * lo
+        odd = 0.75 * a + 0.25 * hi
+        stacked = jnp.stack([even, odd], axis=axis + 1)
+        new_shape = list(a.shape)
+        new_shape[axis] *= 2
+        return stacked.reshape(new_shape)
+
+    x = up_axis(x, x.ndim - 3)
+    x = up_axis(x, x.ndim - 2)
+    return x
+
+
 def resize(x: jnp.ndarray, *, scale: float | None = None,
            size: Tuple[int, int] | None = None,
            method: str = "bilinear") -> jnp.ndarray:
     """Resize (..., H, W, C) images; method in nearest|bilinear|bicubic."""
+    # NOTE: an explicit [1/4, 3/4]-stencil 2x path (_upsample2x_bilinear)
+    # was benchmarked and lost to jax.image.resize on TPU (layout shuffles
+    # outweigh the gather savings); kept for reference/tests only.
     shape = _out_shape(x, scale, size)
     if method == "nearest":
         # torch 'nearest' floors source indices: src = floor(dst * in/out)

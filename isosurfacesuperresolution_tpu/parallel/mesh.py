@@ -75,13 +75,13 @@ def render_cameras_sharded(grid, eyes: jnp.ndarray, look_ats: jnp.ndarray,
     benchmark loops (`mainPSNR2_AllAngles.py:145-151`), laid out so each
     chip raycasts its own camera subset with the volume replicated.
     """
+    from isosurfacesuperresolution_tpu.render.api import render_frame_gbuffer
     from isosurfacesuperresolution_tpu.render.camera import CameraParams
-    from isosurfacesuperresolution_tpu.render.raycast import render_gbuffer
 
     @partial(jax.jit, static_argnames=("cfg",))
     def render_one(grid, eye, look_at, up, cfg):
         cam = CameraParams(eye, look_at, up, fov_y_degrees)
-        return render_gbuffer(grid, cam, cam, cfg)
+        return render_frame_gbuffer(grid, cam, cam, cfg)
 
     def render_batch(grid, eyes, look_ats, ups):
         return jax.vmap(lambda e, l, u: render_one(grid, e, l, u,

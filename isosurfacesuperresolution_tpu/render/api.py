@@ -1,0 +1,32 @@
+"""Renderer dispatch: one entry point over the two G-buffer backends.
+
+- ``sweep``  (default): gather-free shear-warp sweep - the TPU fast path
+  (`render/sweep.py`), ~150x faster than marching on TPU.
+- ``march``: per-ray lattice marching (`render/raycast.py`) - the
+  reference-faithful oracle; also what the AO hemisphere rays use.
+
+Both are jit-compatible with traced cameras and produce the same 12-channel
+G-buffer contract (parity bounded by `tests/test_sweep.py`).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from isosurfacesuperresolution_tpu.config import RenderConfig
+from isosurfacesuperresolution_tpu.render.camera import CameraParams
+from isosurfacesuperresolution_tpu.render.raycast import render_gbuffer
+from isosurfacesuperresolution_tpu.render.sweep import render_gbuffer_sweep
+from isosurfacesuperresolution_tpu.volume.grid import BrickGrid
+
+
+def render_frame_gbuffer(grid: BrickGrid, cam: CameraParams,
+                         cam_flow: CameraParams,
+                         cfg: RenderConfig) -> jnp.ndarray:
+    """Render one (H, W, 12) G-buffer with the backend picked by
+    ``cfg.renderer``."""
+    if cfg.renderer == "sweep":
+        return render_gbuffer_sweep(grid, cam, cam_flow, cfg)
+    if cfg.renderer == "march":
+        return render_gbuffer(grid, cam, cam_flow, cfg)
+    raise ValueError(f"unknown renderer {cfg.renderer!r}")

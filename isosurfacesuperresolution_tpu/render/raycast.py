@@ -277,6 +277,65 @@ def _reflect(i: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
     return i - 2.0 * n * jnp.sum(n * i, axis=-1, keepdims=True)
 
 
+def shade_hits(hit_world: jnp.ndarray, normal_w: jnp.ndarray,
+               hit: jnp.ndarray, ao: jnp.ndarray,
+               cam: CameraParams, cam_flow: CameraParams,
+               cfg: RenderConfig, width: int, height: int) -> jnp.ndarray:
+    """Assemble the 12-channel G-buffer from hit records (renderer-agnostic).
+
+    hit_world (N, 3), normal_w (N, 3), hit (N,) bool, ao (N,).
+    Implements Phong shading, screen-space flow, NDC depth and view-space
+    normals exactly as `render_kernel.cu:232-265`; shared by the march and
+    sweep renderers.
+    """
+    npix = hit_world.shape[0]
+    # ---- Phong shading in world space (render_kernel.cu:232-237) ----
+    if cfg.camera_light:
+        light_dir = cam.look_at_pt - cam.eye
+        light_dir = light_dir / jnp.maximum(jnp.linalg.norm(light_dir), 1e-12)
+    else:
+        light_dir = jnp.asarray(cfg.light_direction, jnp.float32)
+        light_dir = light_dir / jnp.maximum(jnp.linalg.norm(light_dir), 1e-12)
+    ambient = jnp.asarray(cfg.ambient_color, jnp.float32)
+    diffuse = jnp.asarray(cfg.diffuse_color, jnp.float32)
+    specular = jnp.asarray(cfg.specular_color, jnp.float32)
+
+    eyedir = cam.eye - hit_world
+    eyedir = eyedir / jnp.maximum(
+        jnp.linalg.norm(eyedir, axis=-1, keepdims=True), 1e-12)
+    ndotl = jnp.sum(normal_w * light_dir, axis=-1, keepdims=True)
+    color = ambient + diffuse * jnp.abs(ndotl)
+    refl = _reflect(jnp.broadcast_to(light_dir, normal_w.shape), normal_w)
+    refl = refl / jnp.maximum(
+        jnp.linalg.norm(refl, axis=-1, keepdims=True), 1e-12)
+    rdotv = jnp.clip(jnp.sum(refl * eyedir, axis=-1, keepdims=True), 0.0, None)
+    # the GPU data-generation kernel uses the constant 3.41 where pi is meant
+    # (render_kernel.cu:236); kept for numeric parity with reference data
+    spec_norm = (cfg.specular_exponent + 2) / (2 * 3.41)
+    color = color + specular * spec_norm * rdotv ** cfg.specular_exponent
+
+    # ---- flow + depth + view-space normal (render_kernel.cu:239-249) ----
+    mvp_cur = cam.mvp(width, height)
+    mvp_flow = cam_flow.mvp(width, height)
+    ndc_cur = project(mvp_cur, hit_world)
+    ndc_flow = project(mvp_flow, hit_world)
+    flow = 0.5 * (ndc_cur[..., :2] - ndc_flow[..., :2])
+    depth = ndc_cur[..., 2]
+    normal_vs = normal_w @ cam.normal_matrix().T
+
+    m = hit.astype(jnp.float32)
+    mc = m[:, None]
+    return jnp.concatenate([
+        color * mc,                           # 0:3 rgb
+        m[:, None],                           # 3 mask
+        normal_vs * mc,                       # 4:7 view-space normal
+        (depth * m)[:, None],                 # 7 depth
+        flow * mc,                            # 8:10 flow
+        jnp.where(hit, ao, 1.0)[:, None],     # 10 ao (1 outside)
+        jnp.ones((npix, 1), jnp.float32),     # 11 shadow
+    ], axis=-1)
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def render_gbuffer(grid: BrickGrid,
                    cam: CameraParams,
@@ -310,53 +369,6 @@ def render_gbuffer(grid: BrickGrid,
     hit_world = grid.voxel_to_world(hit_vox)
     normal_w = gradient_normal(grid, hit_vox)
 
-    # ---- Phong shading in world space (render_kernel.cu:232-237) ----
-    if cfg.camera_light:
-        light_dir = cam.look_at_pt - cam.eye
-        light_dir = light_dir / jnp.maximum(jnp.linalg.norm(light_dir), 1e-12)
-    else:
-        light_dir = jnp.asarray(cfg.light_direction, jnp.float32)
-        light_dir = light_dir / jnp.maximum(jnp.linalg.norm(light_dir), 1e-12)
-    ambient = jnp.asarray(cfg.ambient_color, jnp.float32)
-    diffuse = jnp.asarray(cfg.diffuse_color, jnp.float32)
-    specular = jnp.asarray(cfg.specular_color, jnp.float32)
-
-    eyedir = eye - hit_world
-    eyedir = eyedir / jnp.maximum(
-        jnp.linalg.norm(eyedir, axis=-1, keepdims=True), 1e-12)
-    ndotl = jnp.sum(normal_w * light_dir, axis=-1, keepdims=True)
-    color = ambient + diffuse * jnp.abs(ndotl)
-    refl = _reflect(jnp.broadcast_to(light_dir, normal_w.shape), normal_w)
-    refl = refl / jnp.maximum(
-        jnp.linalg.norm(refl, axis=-1, keepdims=True), 1e-12)
-    rdotv = jnp.clip(jnp.sum(refl * eyedir, axis=-1, keepdims=True), 0.0, None)
-    # the GPU data-generation kernel uses the constant 3.41 where pi is meant
-    # (render_kernel.cu:236); kept for numeric parity with reference data
-    spec_norm = (cfg.specular_exponent + 2) / (2 * 3.41)
-    color = color + specular * spec_norm * rdotv ** cfg.specular_exponent
-
-    # ---- flow + depth + view-space normal (render_kernel.cu:239-249) ----
-    # Stored flow is 0.5 * (ndc_cur - ndc_flowcam) in OUR conventions
-    # (ndc x right, ndc y up, image rows top-down).  With ``cam_flow`` = the
-    # PREVIOUS frame's camera, this packing makes the reference-semantics
-    # `warp_upscale` (flow_x * -2, flow_y * +2 + grid_sample,
-    # videotools.py:65-68) *exactly* sample the previous frame at the current
-    # pixel's surface point - verified by the cross-frame warp test.
-    #
-    # NOTE on reference parity: the reference kernel computes
-    # 0.5 * (cur - next) (render_kernel.cu:245) but its consumers disagree on
-    # signs (CPU pipe negates, CPURenderer.cpp:736-737; GPU DLL does not;
-    # FlowTest.py scales both axes by -2 while videotools uses -2/+2).  This
-    # framework uses ONE convention everywhere: flow is always w.r.t. the
-    # previous camera, and the warp at frame t uses frame t's own flow.
-    mvp_cur = cam.mvp(W, H)
-    mvp_flow = cam_flow.mvp(W, H)
-    ndc_cur = project(mvp_cur, hit_world)
-    ndc_flow = project(mvp_flow, hit_world)
-    flow = 0.5 * (ndc_cur[:, :2] - ndc_flow[:, :2])
-    depth = ndc_cur[:, 2]
-    normal_vs = normal_w @ cam.normal_matrix().T
-
     # ---- ambient occlusion ----
     xx = jnp.tile(jnp.arange(W, dtype=jnp.int32), H)
     yy = jnp.repeat(jnp.arange(H, dtype=jnp.int32), W)
@@ -369,17 +381,18 @@ def render_gbuffer(grid: BrickGrid,
         in_vp = (xx >= x0) & (yy >= y0) & (xx < x1) & (yy < y1)
         hit = hit & in_vp
 
-    m = hit.astype(jnp.float32)
-    mc = m[:, None]
-    frame = jnp.concatenate([
-        color * mc,                           # 0:3 rgb
-        m[:, None],                           # 3 mask
-        normal_vs * mc,                       # 4:7 view-space normal
-        (depth * m)[:, None],                 # 7 depth
-        flow * mc,                            # 8:10 flow
-        jnp.where(hit, ao, 1.0)[:, None],     # 10 ao (1 outside, cu:219)
-        jnp.ones((npix, 1), jnp.float32),     # 11 shadow
-    ], axis=-1)
+    # Flow-sign note: stored flow is 0.5 * (ndc_cur - ndc_flowcam) in OUR
+    # conventions (ndc x right, y up, image rows top-down); with ``cam_flow``
+    # = the previous camera this is exactly the packing that makes
+    # reference-semantics warp_upscale (videotools.py:65-68) sample the
+    # previous frame correctly (see tests/test_temporal.py).  The reference's
+    # own consumers disagree on flow signs (CPU pipe negates,
+    # CPURenderer.cpp:736-737; the GPU DLL does not; FlowTest.py scales both
+    # axes by -2 while videotools uses -2/+2); this framework uses ONE
+    # convention everywhere: flow w.r.t. the previous camera, warped with the
+    # current frame's flow.
+    frame = shade_hits(hit_world, normal_w, hit, ao, cam, cam_flow, cfg,
+                       W, H)
     return frame.reshape(H, W, 12)
 
 

@@ -1,0 +1,331 @@
+"""Perspective shear-warp sweep renderer: gather-free isosurface raycasting.
+
+The TPU-first re-design of the ray marcher.  XLA:TPU executes arbitrary
+gathers at ~2M indices/s (measured on v5e, independent of locality), which
+makes classic per-ray texture marching (`render/raycast.py`) three orders of
+magnitude too slow for real time.  This module renders the SAME 12-channel
+G-buffer with zero gathers by factoring the perspective view transform
+(Lacroute-style shear-warp, rebuilt on matmuls):
+
+1.  Pick the volume axis most parallel to the view direction; the volume is
+    processed as regular slices along that axis (a `lax.switch` over the
+    three static permutations keeps this jit-compatible; the flip along the
+    axis is fully traced).
+2.  Choose a *base plane* (entry-side slice plane) and a regular
+    intermediate grid (s, t) on it.  Rays through the eye and the (s, t)
+    grid cross every slice z_k in an axis-aligned SCALE + TRANSLATE of the
+    grid - each slice is resampled with two dense 2-tap interpolation
+    matrices on the MXU (`ops/separable_warp`).
+3.  March front-to-back as a `lax.scan` over slice planes: isosurface test,
+    first-crossing bookkeeping, inverse-lerp refinement (the analytic limit
+    of the reference's binary search, `render_kernel.cu:176-187`) and
+    gradient capture are all elementwise over the intermediate image.
+    Slices whose max value is below the isovalue skip their resample
+    (`lax.cond`) - the slab-level analogue of GVDB's node culling.
+4.  Surface normals come from frustum-space finite differences pushed
+    through the analytic shear Jacobian - no extra volume samples.
+5.  The intermediate G-buffer maps to the final image through ONE 2D
+    homography, executed as a two-pass separable resample.
+
+Accuracy vs the marcher: samples lie on sheared slice lattices instead of
+the ray lattice; with ``sweep_z_supersample=2`` the effective step is half a
+voxel along the major axis and hits are refined by inverse lerp.  The parity
+test (`tests/test_sweep.py`) bounds the disagreement against
+`render_gbuffer`.
+
+Constraint: every image ray must cross the slice planes monotonically
+(view-to-axis angle + fov/2 < 90 degrees) - true for all the reference's
+camera configurations.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from isosurfacesuperresolution_tpu.config import RenderConfig
+from isosurfacesuperresolution_tpu.ops.separable_warp import (
+    homography_warp, interp_matrix)
+from isosurfacesuperresolution_tpu.render.camera import CameraParams
+from isosurfacesuperresolution_tpu.render.raycast import (
+    compute_ao, shade_hits)
+from isosurfacesuperresolution_tpu.volume.grid import BrickGrid
+
+
+_PERMS = ((1, 2, 0), (0, 2, 1), (0, 1, 2))  # axis 0 / 1 / 2 as major (last)
+
+
+def _sweep_permuted(values: jnp.ndarray,      # (X, Y, Z) permuted volume
+                    eye_p: jnp.ndarray,       # (3,) permuted voxel-space eye
+                    ray_mat: jnp.ndarray,     # (3,3): d_perm = M @ (u,v,1)
+                    flip: jnp.ndarray,        # traced bool: march -z
+                    grid: BrickGrid,
+                    cam: CameraParams,
+                    cam_flow: CameraParams,
+                    cfg: RenderConfig,
+                    perm: Tuple[int, int, int]) -> jnp.ndarray:
+    W, H = cfg.width, cfg.height
+    X, Y, Z = values.shape
+    zss = cfg.sweep_z_supersample
+    K = Z * zss
+    Sn = int(round(W * cfg.sweep_oversample))
+    Tn = int(round(H * cfg.sweep_oversample))
+    sigma = jnp.where(flip, -1.0, 1.0)
+    iso = jnp.float32(cfg.isovalue)
+
+    def z_c(m):
+        zc = (m + 0.5) / zss
+        return jnp.where(flip, Z - zc, zc)
+
+    # base plane: entry-side, at least half a voxel in front of the eye
+    k_min = 0.5
+    z_entry = z_c(jnp.float32(0.0))
+    z_b = eye_p[2] + sigma * jnp.maximum(sigma * (z_entry - eye_p[2]), k_min)
+    kk = z_b - eye_p[2]
+
+    # image corners -> base-plane bounding box of the intermediate grid
+    corners = jnp.asarray([[0.5, 0.5, 1.0], [W - 0.5, 0.5, 1.0],
+                           [0.5, H - 0.5, 1.0], [W - 0.5, H - 0.5, 1.0]],
+                          jnp.float32)
+    d_c = corners @ ray_mat.T
+    lam_c = kk / d_c[:, 2]
+    s_c = eye_p[0] + d_c[:, 0] * lam_c
+    t_c = eye_p[1] + d_c[:, 1] * lam_c
+    margin = 2.0
+    s_min = jnp.min(s_c) - margin
+    s_max = jnp.max(s_c) + margin
+    t_min = jnp.min(t_c) - margin
+    t_max = jnp.max(t_c) + margin
+    ds = (s_max - s_min) / Sn
+    dt = (t_max - t_min) / Tn
+    s_grid = s_min + (jnp.arange(Sn, dtype=jnp.float32) + 0.5) * ds
+    t_grid = t_min + (jnp.arange(Tn, dtype=jnp.float32) + 0.5) * dt
+
+    vmax_z = jnp.max(values, axis=(0, 1))      # per-slice max for culling
+
+    zero = jnp.zeros((Sn, Tn), jnp.float32)
+    inv_zss = 1.0 / zss
+
+    def slice_meta(m):
+        zc = z_c(jnp.float32(m))
+        lam = (zc - eye_p[2]) / kk
+        zf = jnp.clip(jnp.floor(zc - 0.5), 0, Z - 2).astype(jnp.int32)
+        fz = jnp.clip(zc - 0.5 - zf, 0.0, 1.0)
+        smax = jnp.maximum(vmax_z[zf], vmax_z[zf + 1])
+        valid = sigma * (zc - eye_p[2]) > (k_min - 1e-3)
+        return zc, lam, zf, fz, smax, valid
+
+    def resample_slice(lam, zf, fz):
+        x_pos = eye_p[0] + lam * (s_grid - eye_p[0])
+        y_pos = eye_p[1] + lam * (t_grid - eye_p[1])
+        sl = ((1.0 - fz) * jax.lax.dynamic_slice_in_dim(values, zf, 1, 2)
+              + fz * jax.lax.dynamic_slice_in_dim(values, zf + 1, 1, 2)
+              )[:, :, 0]
+        wx = interp_matrix(x_pos, X)
+        wy = interp_matrix(y_pos, Y)
+        tmp = jnp.dot(wx, sl, preferred_element_type=jnp.float32)
+        return jnp.dot(tmp, wy.T, preferred_element_type=jnp.float32)
+
+    def body(carry, m):
+        (found, m_hit, frac, Fm1, Fm2, gA_s, gA_t, gA_z,
+         gB_s, gB_t, gB_z, recB) = carry
+
+        zc, lam, zf, fz, smax, valid = slice_meta(m)
+        # skip empty slices unless a gradient capture is pending just behind
+        # the surface
+        pending = jnp.any(found & (~recB))
+        do = valid & ((smax >= iso) | pending)
+        F = jax.lax.cond(do, lambda: resample_slice(lam, zf, fz),
+                         lambda: zero)
+        F = jnp.where(valid, F, zero)
+
+        crossing = (~found) & (F >= iso) & valid
+        denom = jnp.where(jnp.abs(F - Fm1) > 1e-12, F - Fm1, 1e-12)
+        new_frac = jnp.clip((iso - Fm1) / denom, 0.0, 1.0)
+        m_hit = jnp.where(crossing, jnp.float32(m), m_hit)
+        frac = jnp.where(crossing, new_frac, frac)
+
+        def dcen(A, axis):
+            return 0.5 * (jnp.roll(A, -1, axis) - jnp.roll(A, 1, axis))
+
+        gs_prev = dcen(Fm1, 0)
+        gt_prev = dcen(Fm1, 1)
+        gz_prev = 0.5 * (F - Fm2)              # d/dm at plane m-1
+
+        gA_s = jnp.where(crossing, gs_prev, gA_s)
+        gA_t = jnp.where(crossing, gt_prev, gA_t)
+        gA_z = jnp.where(crossing, gz_prev, gA_z)
+        captureB = found & (~recB) & (jnp.float32(m) == m_hit + 1.0)
+        gB_s = jnp.where(captureB, gs_prev, gB_s)
+        gB_t = jnp.where(captureB, gt_prev, gB_t)
+        gB_z = jnp.where(captureB, gz_prev, gB_z)
+        recB = recB | captureB
+
+        found = found | crossing
+        return (found, m_hit, frac, F, Fm1, gA_s, gA_t, gA_z,
+                gB_s, gB_t, gB_z, recB), None
+
+    init = (jnp.zeros((Sn, Tn), bool), zero - 1.0, zero, zero, zero,
+            zero, zero, zero, zero, zero, zero, jnp.zeros((Sn, Tn), bool))
+    (found, m_hit, frac, _, _, gA_s, gA_t, gA_z, gB_s, gB_t, gB_z,
+     recB), _ = jax.lax.scan(body, init, jnp.arange(K))
+
+    gB_s = jnp.where(recB, gB_s, gA_s)
+    gB_t = jnp.where(recB, gB_t, gA_t)
+    gB_z = jnp.where(recB, gB_z, gA_z)
+    g_s = (1 - frac) * gA_s + frac * gB_s
+    g_t = (1 - frac) * gA_t + frac * gB_t
+    g_z = (1 - frac) * gA_z + frac * gB_z
+
+    # continuous hit position in permuted voxel coords
+    m_star = m_hit - 1.0 + frac
+    zc_star = z_c(m_star)
+    lam_star = (zc_star - eye_p[2]) / kk
+    xs = eye_p[0] + lam_star * (s_grid[:, None] - eye_p[0])
+    ys = eye_p[1] + lam_star * (t_grid[None, :] - eye_p[1])
+    lam_safe = jnp.where(jnp.abs(lam_star) > 1e-6, lam_star, 1e-6)
+
+    # frustum grads -> volume gradient (chain rule through the shear)
+    dz_dm = sigma * inv_zss
+    Vx = g_s / (lam_safe * ds)
+    Vy = g_t / (lam_safe * dt)
+    rel_z = zc_star - eye_p[2]
+    rel_z = jnp.where(jnp.abs(rel_z) > 1e-6, rel_z, 1e-6)
+    Vz = (g_z / dz_dm
+          - Vx * (xs - eye_p[0]) / rel_z
+          - Vy * (ys - eye_p[1]) / rel_z)
+
+    # un-permute to the original axis order
+    inv = [0, 0, 0]
+    for i, a in enumerate(perm):
+        inv[a] = i
+    hit_p = jnp.stack([xs, ys, jnp.broadcast_to(zc_star, xs.shape)], -1)
+    grad_p = jnp.stack([Vx, Vy, Vz], -1)
+    hit_vox = hit_p[..., jnp.asarray(inv)]
+    grad = grad_p[..., jnp.asarray(inv)]
+
+    gnorm = jnp.sqrt(jnp.maximum(jnp.sum(grad * grad, -1, keepdims=True),
+                                 1e-12))
+    normal_w = -grad / gnorm
+
+    hit_world = grid.voxel_to_world(hit_vox)
+    flat_hit = found.reshape(-1)
+    flat_world = hit_world.reshape(-1, 3)
+    flat_normal = normal_w.reshape(-1, 3)
+
+    if cfg.ao_samples > 0:
+        # AO keeps the hemisphere-ray gather path (offline data generation;
+        # the real-time path runs ao_samples=0 with the network predicting
+        # AO, mainVideoUnshaded's operating point)
+        tn_idx = jnp.tile(jnp.arange(Tn, dtype=jnp.int32), Sn)
+        sn_idx = jnp.repeat(jnp.arange(Sn, dtype=jnp.int32), Tn)
+        pix = jnp.stack([tn_idx, sn_idx], -1)
+        dirs = flat_world - cam.eye
+        dirs = dirs / jnp.maximum(
+            jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
+        ao = compute_ao(grid, hit_vox.reshape(-1, 3), flat_normal, dirs,
+                        flat_hit, pix, cfg, grid.voxel_size[0])
+    else:
+        ao = jnp.ones_like(flat_hit, jnp.float32)
+
+    inter = shade_hits(flat_world, flat_normal, flat_hit, ao,
+                       cam, cam_flow, cfg, W, H).reshape(Sn, Tn, 12)
+
+    # homography (u_c, v_c, 1) -> intermediate pixel coordinates
+    Hs = kk * ray_mat[0] + eye_p[0] * ray_mat[2]
+    Ht = kk * ray_mat[1] + eye_p[1] * ray_mat[2]
+    Hw = ray_mat[2]
+    Hmat = jnp.stack([(Hs - s_min * Hw) / ds,
+                      (Ht - t_min * Hw) / dt,
+                      Hw])
+
+    # two-pass warp degenerates when the homography is closer to an axis
+    # swap (u driving t rather than s - e.g. side views after the axis
+    # permutation): compare the center Jacobian and transpose if needed
+    uc = jnp.asarray([W / 2.0, H / 2.0, 1.0], jnp.float32)
+    wgt = Hmat[2] @ uc
+    s_ctr = (Hmat[0] @ uc) / wgt
+    t_ctr = (Hmat[1] @ uc) / wgt
+    dsdu = (Hmat[0, 0] - s_ctr * Hmat[2, 0]) / wgt
+    dsdv = (Hmat[0, 1] - s_ctr * Hmat[2, 1]) / wgt
+    dtdu = (Hmat[1, 0] - t_ctr * Hmat[2, 0]) / wgt
+    dtdv = (Hmat[1, 1] - t_ctr * Hmat[2, 1]) / wgt
+    swap = jnp.abs(dsdu * dtdv) < jnp.abs(dsdv * dtdu)
+
+    out = jax.lax.cond(
+        swap,
+        lambda: homography_warp(jnp.transpose(inter, (1, 0, 2)),
+                                Hmat[jnp.asarray([1, 0, 2])], (W, H)),
+        lambda: homography_warp(inter, Hmat, (W, H)))    # (W, H, 12)
+    out = jnp.transpose(out, (1, 0, 2))                  # (H, W, 12)
+
+    # post-warp fixups: binarize mask, unpremultiply nothing (channels were
+    # masked pre-warp; silhouette blending is re-masked here), renormalize
+    # normals, restore ao=1 outside
+    m_bin = out[..., 3:4] > 0.5
+    mvec = m_bin.astype(jnp.float32)
+    msafe = jnp.maximum(out[..., 3:4], 0.5)
+    nrm = out[..., 4:7] / msafe
+    nlen = jnp.sqrt(jnp.maximum(jnp.sum(nrm * nrm, -1, keepdims=True),
+                                1e-12))
+    nrm = jnp.where(m_bin, nrm / nlen, 0.0)
+
+    frame = jnp.concatenate([
+        out[..., 0:3] / msafe * mvec,
+        mvec,
+        nrm,
+        out[..., 7:8] / msafe * mvec,
+        out[..., 8:10] / msafe * mvec,
+        jnp.where(m_bin, jnp.clip(out[..., 10:11], 0.0, 1.0), 1.0),
+        jnp.ones_like(mvec),
+    ], axis=-1)
+
+    if cfg.viewport is not None:
+        x0, y0, x1, y1 = cfg.viewport
+        xx = jnp.arange(W)[None, :, None]
+        yy = jnp.arange(H)[:, None, None]
+        in_vp = ((xx >= x0) & (yy >= y0) & (xx < x1)
+                 & (yy < y1)).astype(jnp.float32)
+        keep_ao = jnp.where(in_vp > 0, frame[..., 10:11], 1.0)
+        frame = jnp.concatenate([frame[..., :10] * in_vp, keep_ao,
+                                 frame[..., 11:12]], axis=-1)
+    return frame
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def render_gbuffer_sweep(grid: BrickGrid, cam: CameraParams,
+                         cam_flow: CameraParams,
+                         cfg: RenderConfig) -> jnp.ndarray:
+    """Sweep-rendered (H, W, 12) G-buffer; same contract as
+    `render_gbuffer`.  Fully jit-compatible (traced cameras): the major-axis
+    choice is a 3-way `lax.switch`, the axis flip is traced."""
+    W, H = cfg.width, cfg.height
+    f_world = cam.look_at_pt - cam.eye
+    f_world = f_world / jnp.linalg.norm(f_world)
+    axis = jnp.argmax(jnp.abs(f_world))
+    flip = jnp.take(f_world, axis) < 0
+
+    tan_half = math.tan(math.radians(cam.fov_y_degrees) / 2.0)
+    aspect = W / H
+    B = jnp.asarray([
+        [2.0 * tan_half * aspect / W, 0.0, -tan_half * aspect],
+        [0.0, -2.0 * tan_half / H, tan_half],
+        [0.0, 0.0, -1.0],
+    ], jnp.float32)
+    R_wv = cam.view_matrix()[:3, :3].T
+    M = R_wv @ B                                   # world/voxel ray dirs
+    eye_vox = grid.world_to_voxel(cam.eye)
+
+    def make_branch(perm):
+        def branch():
+            values = jnp.transpose(grid.values, perm)
+            pidx = jnp.asarray(perm)
+            return _sweep_permuted(values, eye_vox[pidx], M[pidx, :], flip,
+                                   grid, cam, cam_flow, cfg, perm)
+        return branch
+
+    return jax.lax.switch(axis, [make_branch(p) for p in _PERMS])

@@ -1,0 +1,133 @@
+"""Sweep-renderer parity tests against the march oracle + fast-warp checks."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from isosurfacesuperresolution_tpu.config import RenderConfig
+from isosurfacesuperresolution_tpu.render.camera import CameraParams
+from isosurfacesuperresolution_tpu.render.raycast import render_gbuffer
+from isosurfacesuperresolution_tpu.render.sweep import render_gbuffer_sweep
+from isosurfacesuperresolution_tpu.volume import analytic
+
+
+def _parity(grid, eye, iso=0.5, size=48):
+    cfg_m = RenderConfig(width=size, height=size, isovalue=iso,
+                         step_voxels=0.25, ao_samples=0, renderer="march")
+    cam = CameraParams.create(eye)
+    a = np.asarray(render_gbuffer(grid, cam, cam, cfg_m))
+    b = np.asarray(render_gbuffer_sweep(grid, cam, cam, cfg_m))
+    return a, b
+
+
+def _check(a, b, min_iou=0.93, normal_cos=0.995, depth_tol=2e-3):
+    from scipy import ndimage
+    ma = a[..., 3] > 0.5
+    mb = b[..., 3] > 0.5
+    iou = (ma & mb).sum() / max((ma | mb).sum(), 1)
+    assert iou > min_iou, iou
+    interior = ndimage.binary_erosion(ma & mb, iterations=2)
+    assert interior.sum() > 50
+    cos = np.sum(a[..., 4:7][interior] * b[..., 4:7][interior], -1)
+    assert cos.mean() > normal_cos, cos.mean()
+    d = np.abs(a[..., 7] - b[..., 7])[interior]
+    assert d.mean() < depth_tol, d.mean()
+
+
+@pytest.mark.parametrize("eye,min_iou", [
+    ((0.0, 1.0, -1.7), 0.93),   # z-major
+    ((1.6, 0.5, -0.4), 0.93),   # x-major
+    ((0.3, 1.7, 0.2), 0.93),    # y-major
+    ((-0.9, -0.9, 0.9), 0.88),  # exact diagonal: shear-warp's worst case
+])
+def test_sweep_matches_march_sphere(eye, min_iou):
+    grid = analytic.sphere_volume(96)
+    a, b = _parity(grid, eye)
+    _check(a, b, min_iou=min_iou)
+
+
+def test_sweep_matches_march_torus():
+    grid = analytic.torus_volume(96)
+    a, b = _parity(grid, (0.4, 1.1, -1.3))
+    _check(a, b, min_iou=0.90)
+
+
+def test_sweep_flow_and_static_consistency():
+    grid = analytic.sphere_volume(64)
+    cfg = RenderConfig(width=32, height=32, isovalue=0.5, ao_samples=0)
+    cam = CameraParams.create((0, 1, -1.7))
+    fr = np.asarray(render_gbuffer_sweep(grid, cam, cam, cfg))
+    mask = fr[..., 3] > 0.5
+    assert mask.sum() > 10
+    np.testing.assert_allclose(fr[..., 8:10], 0.0, atol=1e-4)
+    # ao channel = 1 (no AO requested), shadow = 1
+    np.testing.assert_allclose(fr[..., 10], 1.0, atol=1e-6)
+    np.testing.assert_allclose(fr[..., 11], 1.0)
+    # normals unit-length inside
+    n = fr[..., 4:7][mask]
+    np.testing.assert_allclose(np.linalg.norm(n, axis=-1), 1.0, atol=1e-3)
+
+
+def test_sweep_viewport_clipping():
+    grid = analytic.sphere_volume(64)
+    cfg = RenderConfig(width=32, height=32, isovalue=0.5, ao_samples=0,
+                       viewport=(0, 0, 16, 32))
+    cam = CameraParams.create((0, 1, -1.7))
+    fr = np.asarray(render_gbuffer_sweep(grid, cam, cam, cfg))
+    assert fr[:, 16:, 3].max() == 0.0
+    assert fr[:, :16, 3].max() == 1.0
+
+
+def test_fast_warp_matches_exact_for_smooth_flow():
+    from isosurfacesuperresolution_tpu.models.videotools import warp_upscale
+    from isosurfacesuperresolution_tpu.ops.warp_fast import warp_upscale_fast
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(1, 64, 64, 6).astype(np.float32))
+    # constant flow: two-pass is exact
+    flow_c = jnp.full((1, 16, 16, 2), 0.02)
+    a = np.asarray(warp_upscale(img, flow_c, 4, special_mask=True))
+    b = np.asarray(warp_upscale_fast(img, flow_c, 4, special_mask=True))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+    # zero flow
+    f0 = jnp.zeros((1, 16, 16, 2))
+    a = np.asarray(warp_upscale(img, f0, 4))
+    b = np.asarray(warp_upscale_fast(img, f0, 4))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_fast_warp_rendered_frames():
+    """End-to-end: warping a rendered frame with the fast warp recovers
+    alignment like the exact warp does (same setup as test_temporal)."""
+    import math
+    from isosurfacesuperresolution_tpu.ops.inpaint import inpaint_flow
+    from isosurfacesuperresolution_tpu.ops.warp_fast import warp_upscale_fast
+    from isosurfacesuperresolution_tpu.render.raycast import (
+        gbuffer_flow)
+    from scipy import ndimage
+    grid = analytic.torus_volume(96)
+    low = RenderConfig(width=40, height=40, isovalue=0.5, step_voxels=0.25,
+                       ao_samples=0, camera_light=False, renderer="march",
+                       light_direction=(0.3, -1.0, 0.2),
+                       specular_color=(0.0, 0.0, 0.0))
+    high = low.replace(width=160, height=160)
+    eye0 = (0.0, 0.9, -1.5)
+    ang = 0.3
+    eye1 = (eye0[0] * math.cos(ang) - eye0[2] * math.sin(ang), eye0[1] * 0.92,
+            eye0[0] * math.sin(ang) + eye0[2] * math.cos(ang))
+    cam0 = CameraParams.create(eye0)
+    cam1 = CameraParams.create(eye1)
+    f0h = render_gbuffer(grid, cam0, cam0, high)
+    f1l = render_gbuffer(grid, cam1, cam0, low)
+    f1h = render_gbuffer(grid, cam1, cam0, high)
+    prev = jnp.concatenate([f0h[..., 3:4] * 2 - 1, f0h[..., :3]], -1)[None]
+    cur = np.asarray(jnp.concatenate([f1h[..., 3:4] * 2 - 1,
+                                      f1h[..., :3]], -1))
+    flow = inpaint_flow(gbuffer_flow(f1l)[None], f1l[None, ..., 3:4], 6)
+    warped = np.asarray(warp_upscale_fast(prev, flow, 4, special_mask=True))
+    m0 = np.asarray(f0h[..., 3]) > 0
+    m1 = np.asarray(f1h[..., 3]) > 0
+    both = ndimage.binary_erosion(m0 & m1, iterations=3)
+    err_w = np.abs(warped[0] - cur)[both].mean()
+    err_u = np.abs(np.asarray(prev[0]) - cur)[both].mean()
+    assert err_w < 0.3 * err_u, (err_w, err_u)
