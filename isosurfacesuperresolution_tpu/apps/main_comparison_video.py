@@ -1,0 +1,145 @@
+"""Scene-scripted comparison videos.
+
+Parity target: `mainComparisonVideo3.py` - drives scripted scenes (camera
+rotation, isovalue sweep, light sweep, material-color sweep, fov zoom,
+`:92-312`), renders ground truth + every model per frame, and writes one
+video (or PNG sequence) per model and channel.
+
+Usage:
+  python -m isosurfacesuperresolution_tpu.apps.main_comparison_video \
+      --volume analytic:blobs --script rotation --frames 48 \
+      --models bilinear --output video_out
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+from typing import Callable, Dict, List
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# scene scripts (parity: mainComparisonVideo3.py:92-312)
+# ---------------------------------------------------------------------------
+
+def script_rotation(i: int, n: int, base: dict) -> dict:
+    ang = 2 * math.pi * i / n
+    d = base["distance"]
+    return {**base, "eye": (d * math.sin(ang), base["height"],
+                            -d * math.cos(ang))}
+
+
+def script_isovalue(i: int, n: int, base: dict) -> dict:
+    lo, hi = base.get("iso_range", (0.25, 0.7))
+    a = i / max(n - 1, 1)
+    tri = 1.0 - abs(2 * a - 1.0)           # sweep up then down
+    return {**base, "isovalue": lo + (hi - lo) * tri}
+
+
+def script_light(i: int, n: int, base: dict) -> dict:
+    ang = 2 * math.pi * i / n
+    return {**base, "camera_light": False,
+            "light_direction": (math.sin(ang), -0.5, math.cos(ang))}
+
+
+def script_color(i: int, n: int, base: dict) -> dict:
+    a = i / max(n - 1, 1)
+    return {**base, "diffuse": (1.0 - 0.7 * a, 0.3 + 0.5 * a, 0.2)}
+
+
+def script_zoom(i: int, n: int, base: dict) -> dict:
+    a = i / max(n - 1, 1)
+    tri = 1.0 - abs(2 * a - 1.0)
+    return {**base, "fov": 45.0 - 25.0 * tri}
+
+
+SCRIPTS: Dict[str, Callable] = {
+    "rotation": script_rotation,
+    "isovalue": script_isovalue,
+    "light": script_light,
+    "color": script_color,
+    "zoom": script_zoom,
+}
+
+
+def build_parser():
+    p = argparse.ArgumentParser()
+    p.add_argument("--volume", type=str, default="analytic:blobs")
+    p.add_argument("--models", nargs="+", default=["bilinear"])
+    p.add_argument("--script", type=str, default="rotation",
+                   choices=sorted(SCRIPTS))
+    p.add_argument("--frames", type=int, default=48)
+    p.add_argument("--lowRes", type=int, default=120)
+    p.add_argument("--isovalue", type=float, default=0.5)
+    p.add_argument("--channels", nargs="+", default=["color"],
+                   help="subset of color|mask|normal|depth|ao|flow")
+    p.add_argument("--fps", type=int, default=24)
+    p.add_argument("--output", type=str, default="video_out")
+    p.add_argument("--pngs", action="store_true",
+                   help="write PNG frames instead of mp4")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import imageio
+
+    from isosurfacesuperresolution_tpu.apps.main_gui import Viewer
+    from isosurfacesuperresolution_tpu.apps.main_psnr_stats import load_volume
+    from isosurfacesuperresolution_tpu.infer.loadedmodel import LoadedModel
+
+    grid, vol_name = load_volume(args.volume)
+    models = {os.path.basename(m.rstrip("/")): LoadedModel.from_run_dir(m)
+              for m in args.models
+              if m not in ("nearest", "bilinear", "bicubic", "gt")}
+    baselines = [m for m in args.models
+                 if m in ("nearest", "bilinear", "bicubic", "gt")]
+
+    os.makedirs(args.output, exist_ok=True)
+    base = {"distance": 1.7, "height": 0.9, "isovalue": args.isovalue,
+            "fov": 45.0, "eye": (0.0, 0.9, -1.7), "camera_light": True}
+    script = SCRIPTS[args.script]
+
+    for mode in list(models) + baselines:
+        viewer = Viewer(grid, models, res_x=args.lowRes, res_y=args.lowRes,
+                        isovalue=args.isovalue)
+        viewer.set_mode(mode)
+        for channel in args.channels:
+            viewer.channel = channel
+            frames: List[np.ndarray] = []
+            for i in range(args.frames):
+                s = script(i, args.frames, base)
+                eye = s["eye"]
+                viewer.camera.current_distance, viewer.camera.current_pitch, \
+                    viewer.camera.current_yaw = viewer.camera.to_angles(eye)
+                if s["isovalue"] != viewer.render_cfg.isovalue:
+                    viewer.set_isovalue(s["isovalue"])
+                    viewer.set_mode(mode)
+                rgb = viewer.render_frame()
+                frames.append((np.clip(rgb, 0, 1) * 255).astype(np.uint8))
+            tag = f"{vol_name}_{args.script}_{mode}_{channel}"
+            if args.pngs:
+                d = os.path.join(args.output, tag)
+                os.makedirs(d, exist_ok=True)
+                for i, fr in enumerate(frames):
+                    imageio.imwrite(os.path.join(d, f"{i:04d}.png"), fr)
+                print("wrote", d)
+            else:
+                path = os.path.join(args.output, tag + ".mp4")
+                try:
+                    imageio.mimwrite(path, frames, fps=args.fps)
+                    print("wrote", path)
+                except Exception as e:   # no ffmpeg plugin -> PNG fallback
+                    print(f"mp4 write failed ({e}); writing PNGs")
+                    d = os.path.join(args.output, tag)
+                    os.makedirs(d, exist_ok=True)
+                    for i, fr in enumerate(frames):
+                        imageio.imwrite(os.path.join(d, f"{i:04d}.png"), fr)
+
+
+if __name__ == "__main__":
+    main()
