@@ -146,7 +146,7 @@ def load_sequences(args, cfg):
         seq_cfg = SequenceConfig(
             num_frames=args.numFrames,
             high_res=args.cropSize * args.upscaleFactor * 4,
-            ao_samples=64, distance_range=(1.2, 1.8))
+            ao_samples=64, distance_range=(0.7, 1.0))
         base = RenderConfig(isovalue=0.5, step_voxels=0.5)
         print(f"Generating {args.numberOfImages} sequences from "
               f"analytic:{name} ...")

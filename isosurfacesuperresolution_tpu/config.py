@@ -70,6 +70,10 @@ class RenderConfig:
 
     # Ambient occlusion (render_kernel.cu:31-43; ray-sampled mode)
     ao_samples: int = 0                # 0 disables AO (=> ao channel = 1)
+    ao_mode: str = "auto"              # auto: baked SH field if the grid
+                                       # carries one (render/ao_sweep.py),
+                                       # hemisphere rays otherwise;
+                                       # "ray" | "volume" force a backend
     ao_radius: float = 0.1             # world-space falloff radius
     ao_bias: float = 1e-3              # backtrack along the ray to avoid acne
     ao_rotations: int = 4              # 4x4 grid of random rotation vectors

@@ -126,6 +126,16 @@ def render_sequence(grid: BrickGrid, cams: Sequence[CameraParams],
                                   ao_radius=seq_cfg.ao_radius)
     cfg_low = render_cfg.replace(width=h, height=h, ao_samples=0)
 
+    # bake the SH occlusion field once per clip (isovalue is fixed within a
+    # clip) so high-res AO renders at sweep speed instead of hemisphere-ray
+    # speed (render/ao_sweep.py)
+    if (seq_cfg.ao_samples > 0 and cfg_high.renderer == "sweep"
+            and cfg_high.ao_mode in ("auto", "volume")
+            and grid.ao_sh is None):
+        from isosurfacesuperresolution_tpu.render.ao_sweep import (
+            attach_baked_ao)
+        grid = attach_baked_ao(grid, cfg_high.isovalue, cfg_high.ao_radius)
+
     lows, highs, flows = [], [], []
     for t, cam in enumerate(cams):
         cam_prev = cams[t - 1] if t > 0 else cam

@@ -1,0 +1,149 @@
+"""Baked directional-occlusion ambient occlusion (gather-free).
+
+The reference computes AO by casting up to 512 hemisphere rays per pixel
+through GVDB per frame (`render_kernel.cu:109-146`).  On TPU that path
+(`raycast.compute_ao`) is gather-bound and only practical for tiny tests;
+generating one 512^2 training frame with 256 AO samples would take hours.
+
+This module bakes the occlusion *once per (volume, isovalue)* into a
+spherical-harmonics-L1 field and lets the sweep renderer sample it like a
+second density channel - fully regular, ~zero per-frame cost:
+
+1.  For D Fibonacci-sphere directions d, the per-voxel occlusion along d is
+        occ_d(v) = max_k inside(v + t_k d) * (1 - f(t_k)),
+    with f(t) = smoothstep(1, 0, radius / t) - the exact value the
+    reference's AO ray returns for a first hit at distance t_k (the max
+    realizes "first hit" because 1 - f decreases with distance).
+    Each step is a GLOBAL translation of the volume (trilinear shift by
+    t_k * d): three 1-D lerps of rolled arrays - no gathers.
+2.  The D occlusion fields project onto SH-L1:
+        mean(v)  = E_d[occ_d(v)],   g(v) = 3 E_d[occ_d(v) d]
+    so occ(v, d) ~= mean + g . d.
+3.  The cosine-weighted hemisphere integral around surface normal n has the
+    closed form  AO(v, n) = 1 - mean(v) - (2/3) g(v) . n,
+    which the renderer evaluates elementwise from the captured fields.
+
+Accuracy: SH-L1 is the standard low-order approximation of directional
+visibility; `tests/test_ao_sweep.py` bounds the error against the exact
+hemisphere-ray AO on analytic volumes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from isosurfacesuperresolution_tpu.volume.grid import BrickGrid
+
+
+def fibonacci_sphere(n: int) -> np.ndarray:
+    """n roughly-uniform unit directions."""
+    i = np.arange(n, dtype=np.float64) + 0.5
+    phi = np.arccos(1.0 - 2.0 * i / n)
+    theta = np.pi * (1.0 + 5 ** 0.5) * i
+    return np.stack([np.cos(theta) * np.sin(phi),
+                     np.sin(theta) * np.sin(phi),
+                     np.cos(phi)], -1).astype(np.float32)
+
+
+def _shift_volume(v: jnp.ndarray, offset: jnp.ndarray) -> jnp.ndarray:
+    """Trilinear sample of v at (grid + offset): value(p) = v(p + offset).
+
+    offset (3,) in voxels; implemented as three axis lerps of rolled/padded
+    arrays (regular memory access).  Out-of-range reads are 0.
+    """
+    out = v
+    for axis in range(3):
+        o = offset[axis]
+        i0 = jnp.floor(o).astype(jnp.int32)
+        frac = o - i0
+
+        def shift_int(a, k, axis=axis):
+            # a shifted by integer k along axis with zero fill:
+            # out[i] = a[i + k]
+            n = a.shape[axis]
+            rolled = jnp.roll(a, -k, axis)
+            idx = jnp.arange(n) + k
+            valid = (idx >= 0) & (idx < n)
+            shape = [1, 1, 1]
+            shape[axis] = n
+            return rolled * valid.reshape(shape)
+
+        out = ((1.0 - frac) * shift_int(out, i0)
+               + frac * shift_int(out, i0 + 1))
+    return out
+
+
+def _smoothstep_1_0(x: jnp.ndarray) -> jnp.ndarray:
+    t = jnp.clip(1.0 - x, 0.0, 1.0)
+    return t * t * (3.0 - 2.0 * t)
+
+
+@partial(jax.jit, static_argnames=("num_dirs", "num_steps"))
+def bake_occlusion_sh(values: jnp.ndarray, isovalue: float | jnp.ndarray,
+                      ao_radius_voxels: float | jnp.ndarray,
+                      num_dirs: int = 32, num_steps: int = 12,
+                      max_range_factor: float = 8.0) -> jnp.ndarray:
+    """Bake SH-L1 occlusion fields: (X, Y, Z, 4) = [mean, gx, gy, gz].
+
+    values : dense (X, Y, Z) volume; isovalue/radius as in the renderer
+    (radius in voxel units here).  Steps are log-spaced out to
+    ``max_range_factor * radius`` (the reference marches the full ray; the
+    smoothstep falloff makes far hits negligible).
+    """
+    dirs = jnp.asarray(fibonacci_sphere(num_dirs))
+    iso = jnp.asarray(isovalue, jnp.float32)
+    radius = jnp.asarray(ao_radius_voxels, jnp.float32)
+
+    # log-spaced sample distances t_1..t_K in (0, max_range * radius]
+    ks = jnp.arange(1, num_steps + 1, dtype=jnp.float32) / num_steps
+    ts = radius * (max_range_factor ** ks) / 2.0   # from ~radius/2 outward
+
+    def occ_for_dir(d):
+        def step(occ, t):
+            shifted = _shift_volume(values, d * t)
+            inside = (shifted >= iso).astype(jnp.float32)
+            w = 1.0 - _smoothstep_1_0(radius / jnp.maximum(t, 1e-6))
+            return jnp.maximum(occ, inside * w), None
+
+        occ, _ = jax.lax.scan(step, jnp.zeros_like(values), ts)
+        return occ
+
+    def accumulate(carry, d):
+        mean, g = carry
+        occ = occ_for_dir(d)
+        return (mean + occ / num_dirs,
+                g + 3.0 * occ[..., None] * d / num_dirs), None
+
+    (mean, g), _ = jax.lax.scan(
+        accumulate,
+        (jnp.zeros_like(values), jnp.zeros(values.shape + (3,))), dirs)
+    return jnp.concatenate([mean[..., None], g], axis=-1)
+
+
+def ao_from_sh(sh: jnp.ndarray, normal: jnp.ndarray) -> jnp.ndarray:
+    """Evaluate AO from captured SH fields (..., 4) and normals (..., 3).
+
+    AO(n) = clip(1 - mean - (2/3) g . n): the cosine-weighted hemisphere
+    integral of the SH-L1 visibility.
+    """
+    ao = 1.0 - sh[..., 0] - (2.0 / 3.0) * jnp.sum(sh[..., 1:4] * normal, -1)
+    return jnp.clip(ao, 0.0, 1.0)
+
+
+def attach_baked_ao(grid: BrickGrid, isovalue: float, ao_radius_world: float,
+                    num_dirs: int = 32, num_steps: int = 12) -> BrickGrid:
+    """Return a copy of ``grid`` carrying the baked SH occlusion field.
+
+    ``ao_radius_world`` is the renderer's world-space AO radius
+    (RenderConfig.ao_radius); it converts to voxels via the grid transform.
+    """
+    radius_vox = float(ao_radius_world) / float(grid.voxel_size[0])
+    sh = bake_occlusion_sh(grid.values, isovalue, radius_vox,
+                           num_dirs=num_dirs, num_steps=num_steps)
+    return dataclasses.replace(grid, ao_sh=sh)

@@ -67,7 +67,9 @@ def _sweep_permuted(values: jnp.ndarray,      # (X, Y, Z) permuted volume
                     cam: CameraParams,
                     cam_flow: CameraParams,
                     cfg: RenderConfig,
-                    perm: Tuple[int, int, int]) -> jnp.ndarray:
+                    perm: Tuple[int, int, int],
+                    ao_field: "jnp.ndarray | None" = None) -> jnp.ndarray:
+    use_volume_ao = ao_field is not None
     W, H = cfg.width, cfg.height
     X, Y, Z = values.shape
     zss = cfg.sweep_z_supersample
@@ -119,20 +121,34 @@ def _sweep_permuted(values: jnp.ndarray,      # (X, Y, Z) permuted volume
         valid = sigma * (zc - eye_p[2]) > (k_min - 1e-3)
         return zc, lam, zf, fz, smax, valid
 
-    def resample_slice(lam, zf, fz):
+    def slice_weights(lam):
         x_pos = eye_p[0] + lam * (s_grid - eye_p[0])
         y_pos = eye_p[1] + lam * (t_grid - eye_p[1])
+        return interp_matrix(x_pos, X), interp_matrix(y_pos, Y)
+
+    def resample_slice(lam, zf, fz):
         sl = ((1.0 - fz) * jax.lax.dynamic_slice_in_dim(values, zf, 1, 2)
               + fz * jax.lax.dynamic_slice_in_dim(values, zf + 1, 1, 2)
               )[:, :, 0]
-        wx = interp_matrix(x_pos, X)
-        wy = interp_matrix(y_pos, Y)
+        wx, wy = slice_weights(lam)
         tmp = jnp.dot(wx, sl, preferred_element_type=jnp.float32)
         return jnp.dot(tmp, wy.T, preferred_element_type=jnp.float32)
 
+    def resample_ao_slice(lam, zf, fz):
+        sl = ((1.0 - fz) * jax.lax.dynamic_slice_in_dim(ao_field, zf, 1, 2)
+              + fz * jax.lax.dynamic_slice_in_dim(ao_field, zf + 1, 1, 2)
+              )[:, :, 0, :]                                # (X, Y, 4)
+        wx, wy = slice_weights(lam)
+        tmp = jnp.einsum("sx,xyc->syc", wx, sl,
+                         preferred_element_type=jnp.float32)
+        return jnp.einsum("syc,ty->stc", tmp, wy,
+                          preferred_element_type=jnp.float32)
+
+    zero4 = jnp.zeros((Sn, Tn, 4), jnp.float32)
+
     def body(carry, m):
         (found, m_hit, frac, Fm1, Fm2, gA_s, gA_t, gA_z,
-         gB_s, gB_t, gB_z, recB) = carry
+         gB_s, gB_t, gB_z, recB, shm1, sh_hit) = carry
 
         zc, lam, zf, fz, smax, valid = slice_meta(m)
         # skip empty slices unless a gradient capture is pending just behind
@@ -165,14 +181,22 @@ def _sweep_permuted(values: jnp.ndarray,      # (X, Y, Z) permuted volume
         gB_z = jnp.where(captureB, gz_prev, gB_z)
         recB = recB | captureB
 
+        if use_volume_ao:
+            # baked SH occlusion sampled like a second density channel;
+            # captured at the hit plane (AO is smooth, no sub-step lerp)
+            sh = jax.lax.cond(do, lambda: resample_ao_slice(lam, zf, fz),
+                              lambda: zero4)
+            sh_hit = jnp.where(crossing[..., None], sh, sh_hit)
+            shm1 = sh
         found = found | crossing
         return (found, m_hit, frac, F, Fm1, gA_s, gA_t, gA_z,
-                gB_s, gB_t, gB_z, recB), None
+                gB_s, gB_t, gB_z, recB, shm1, sh_hit), None
 
     init = (jnp.zeros((Sn, Tn), bool), zero - 1.0, zero, zero, zero,
-            zero, zero, zero, zero, zero, zero, jnp.zeros((Sn, Tn), bool))
+            zero, zero, zero, zero, zero, zero, jnp.zeros((Sn, Tn), bool),
+            zero4, zero4)
     (found, m_hit, frac, _, _, gA_s, gA_t, gA_z, gB_s, gB_t, gB_z,
-     recB), _ = jax.lax.scan(body, init, jnp.arange(K))
+     recB, _, sh_hit), _ = jax.lax.scan(body, init, jnp.arange(K))
 
     gB_s = jnp.where(recB, gB_s, gA_s)
     gB_t = jnp.where(recB, gB_t, gA_t)
@@ -217,10 +241,14 @@ def _sweep_permuted(values: jnp.ndarray,      # (X, Y, Z) permuted volume
     flat_world = hit_world.reshape(-1, 3)
     flat_normal = normal_w.reshape(-1, 3)
 
-    if cfg.ao_samples > 0:
-        # AO keeps the hemisphere-ray gather path (offline data generation;
-        # the real-time path runs ao_samples=0 with the network predicting
-        # AO, mainVideoUnshaded's operating point)
+    if use_volume_ao and cfg.ao_samples > 0:
+        # baked SH-L1 occlusion captured during the sweep (ao_sweep.py):
+        # AO(n) = 1 - mean - (2/3) g . n, evaluated elementwise
+        from isosurfacesuperresolution_tpu.render.ao_sweep import ao_from_sh
+        ao = ao_from_sh(sh_hit, normal_w).reshape(-1)
+    elif cfg.ao_samples > 0:
+        # hemisphere-ray gather path (reference-exact; slow on TPU - only
+        # for oracle comparisons and tiny offline runs)
         tn_idx = jnp.tile(jnp.arange(Tn, dtype=jnp.int32), Sn)
         sn_idx = jnp.repeat(jnp.arange(Sn, dtype=jnp.int32), Tn)
         pix = jnp.stack([tn_idx, sn_idx], -1)
@@ -320,12 +348,21 @@ def render_gbuffer_sweep(grid: BrickGrid, cam: CameraParams,
     M = R_wv @ B                                   # world/voxel ray dirs
     eye_vox = grid.world_to_voxel(cam.eye)
 
+    use_ao_field = (cfg.ao_samples > 0 and grid.ao_sh is not None
+                    and cfg.ao_mode in ("auto", "volume"))
+    if cfg.ao_mode == "volume" and cfg.ao_samples > 0 and grid.ao_sh is None:
+        raise ValueError("ao_mode='volume' needs a baked occlusion field; "
+                         "call render.ao_sweep.attach_baked_ao(grid, cfg)")
+
     def make_branch(perm):
         def branch():
             values = jnp.transpose(grid.values, perm)
             pidx = jnp.asarray(perm)
+            ao_field = (jnp.transpose(grid.ao_sh, perm + (3,))
+                        if use_ao_field else None)
             return _sweep_permuted(values, eye_vox[pidx], M[pidx, :], flip,
-                                   grid, cam, cam_flow, cfg, perm)
+                                   grid, cam, cam_flow, cfg, perm,
+                                   ao_field=ao_field)
         return branch
 
     return jax.lax.switch(axis, [make_branch(p) for p in _PERMS])

@@ -54,16 +54,19 @@ class BrickGrid:
     bbox_min: jnp.ndarray
     bbox_max: jnp.ndarray
     brick_size: int = DEFAULT_BRICK_SIZE
+    # optional baked SH-L1 occlusion field (X, Y, Z, 4) for fast AO
+    # (see render/ao_sweep.py); None = not baked
+    ao_sh: "jnp.ndarray | None" = None
 
     # -- pytree protocol ----------------------------------------------------
     def tree_flatten(self):
         children = (self.values, self.brick_min, self.brick_max,
-                    self.bbox_min, self.bbox_max)
+                    self.bbox_min, self.bbox_max, self.ao_sh)
         return children, (self.brick_size,)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, brick_size=aux[0])
+        return cls(*children[:5], brick_size=aux[0], ao_sh=children[5])
 
     # -- derived quantities --------------------------------------------------
     @property
