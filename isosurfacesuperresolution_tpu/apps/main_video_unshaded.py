@@ -153,6 +153,36 @@ def load_sequences(args, cfg):
         return generate_sequences([(grid, (0.5, 0.5))],
                                   args.numberOfImages, seq_cfg,
                                   base_render_cfg=base, seed=args.seed)
+    if spec.startswith("descriptor:"):
+        # descriptor file listing "volume_path min_iso max_iso" per line
+        # (parity: DataGeneratorVideo2.py:99-121)
+        from isosurfacesuperresolution_tpu.volume.importers import (
+            import_npy, import_raw, load_cvol)
+        path = spec.split(":", 1)[1]
+        base_dir = os.path.dirname(os.path.abspath(path))
+        grids = []
+        with open(path) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) != 3 or parts[0].startswith("#"):
+                    continue
+                vp = os.path.join(base_dir, parts[0])
+                if vp.endswith(".dat"):
+                    g = import_raw(vp)
+                elif vp.endswith(".npz"):
+                    g = load_cvol(vp)
+                else:
+                    g = import_npy(vp)
+                grids.append((g, (float(parts[1]), float(parts[2]))))
+        if not grids:
+            raise SystemExit(f"no volumes in descriptor {path}")
+        seq_cfg = SequenceConfig(
+            num_frames=args.numFrames,
+            high_res=args.cropSize * args.upscaleFactor * 4,
+            ao_samples=64)
+        base = RenderConfig(step_voxels=0.5)
+        return generate_sequences(grids, args.numberOfImages, seq_cfg,
+                                  base_render_cfg=base, seed=args.seed)
     if spec.endswith((".dat", ".raw")):
         from isosurfacesuperresolution_tpu.volume.importers import import_raw
         grid = import_raw(spec)

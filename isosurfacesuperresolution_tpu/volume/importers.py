@@ -140,15 +140,17 @@ def import_npy(path: str, brick_size: int = 8,
 # ---------------------------------------------------------------------------
 
 def save_cvol(path: str, grid: BrickGrid) -> None:
-    """Save a BrickGrid as a compressed npz with its brick pyramid."""
-    np.savez_compressed(
-        path,
+    """Save a BrickGrid (incl. any baked AO field) as a compressed npz."""
+    payload = dict(
         values=np.asarray(grid.values),
         brick_min=np.asarray(grid.brick_min),
         brick_max=np.asarray(grid.brick_max),
         bbox_min=np.asarray(grid.bbox_min),
         bbox_max=np.asarray(grid.bbox_max),
         brick_size=np.asarray(grid.brick_size))
+    if grid.ao_sh is not None:
+        payload["ao_sh"] = np.asarray(grid.ao_sh)
+    np.savez_compressed(path, **payload)
 
 
 def load_cvol(path: str) -> BrickGrid:
@@ -160,4 +162,5 @@ def load_cvol(path: str) -> BrickGrid:
             brick_max=jnp.asarray(d["brick_max"]),
             bbox_min=jnp.asarray(d["bbox_min"]),
             bbox_max=jnp.asarray(d["bbox_max"]),
-            brick_size=int(d["brick_size"]))
+            brick_size=int(d["brick_size"]),
+            ao_sh=jnp.asarray(d["ao_sh"]) if "ao_sh" in d else None)
