@@ -202,3 +202,95 @@ def load_reference_npy_dir(path: str) -> List[Dict[str, np.ndarray]]:
     if not sequences:
         raise FileNotFoundError(f"no low_%05d.npy clips found in {path}")
     return sequences
+
+
+def _read_exr(path: str) -> np.ndarray:
+    """Read an EXR image as float32 (H, W, C); raises with guidance when no
+    EXR codec is available in the environment."""
+    try:
+        import OpenEXR  # noqa: F401
+        import Imath    # noqa: F401
+    except ImportError:
+        pass
+    else:
+        import OpenEXR
+        import Imath
+        f = OpenEXR.InputFile(path)
+        dw = f.header()["dataWindow"]
+        w = dw.max.x - dw.min.x + 1
+        h = dw.max.y - dw.min.y + 1
+        pt = Imath.PixelType(Imath.PixelType.FLOAT)
+        chans = sorted(f.header()["channels"].keys())
+        data = [np.frombuffer(f.channel(c, pt), np.float32).reshape(h, w)
+                for c in chans]
+        return np.stack(data, -1)
+    try:
+        import os as _os
+        _os.environ.setdefault("OPENCV_IO_ENABLE_OPENEXR", "1")
+        import cv2
+        img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+        if img is not None:
+            return np.asarray(img, np.float32)
+    except Exception:
+        pass
+    raise RuntimeError(
+        "no EXR codec available (neither OpenEXR bindings nor an OpenCV "
+        "build with EXR support); convert reference EXR datasets to the "
+        "npy clip layout with the reference's DataGenerator/convertToNumpy "
+        "or use this framework's npy/cvol formats")
+
+
+def load_legacy_exr_dir(path: str, num_frames: int = 10,
+                        inpaint_iterations: int = 8
+                        ) -> List[Dict[str, np.ndarray]]:
+    """Load a reference legacy EXR sequence directory.
+
+    Parity: the EXR branch of `datasetVideo.py:172-258` /
+    `DataGeneratorVideo.convertToNumpy`: files ``high_tmp_%05d.exr`` (rgba),
+    ``high_tmp_%05d_depth.exr`` (normal+depth), ``high_tmp_%05d_fx.exr``
+    (ao), ``low_tmp_%05d{,_depth,_flow}.exr``; masks move to [-1, 1] and
+    flow is inpainted over the background (on-device here instead of
+    cv2.INPAINT_NS).
+    """
+    import jax.numpy as jnp
+
+    from isosurfacesuperresolution_tpu.ops.inpaint import inpaint_flow
+
+    seqs: List[Dict[str, np.ndarray]] = []
+    idx = 0
+    while True:
+        probe = os.path.join(path, "high_tmp_%05d.exr" % 0)
+        if idx > 0 or not os.path.exists(probe):
+            if idx == 0:
+                raise FileNotFoundError(f"no high_tmp_*.exr in {path}")
+            break
+        highs, lows, flows = [], [], []
+        for j in range(num_frames):
+            hi_rgb = np.clip(_read_exr(
+                os.path.join(path, "high_tmp_%05d.exr" % j)), 0, 1)
+            hi_dn = _read_exr(
+                os.path.join(path, "high_tmp_%05d_depth.exr" % j))
+            hi_fx = _read_exr(
+                os.path.join(path, "high_tmp_%05d_fx.exr" % j))
+            high = np.concatenate(
+                [hi_rgb[..., 3:4] * 2 - 1, hi_dn[..., :4],
+                 hi_fx[..., 0:1]], -1)
+            lo_rgb = np.clip(_read_exr(
+                os.path.join(path, "low_tmp_%05d.exr" % j)), 0, 1)
+            lo_dn = _read_exr(
+                os.path.join(path, "low_tmp_%05d_depth.exr" % j))
+            low = np.concatenate(
+                [lo_rgb[..., 3:4] * 2 - 1, lo_dn[..., :4]], -1)
+            fl = _read_exr(
+                os.path.join(path, "low_tmp_%05d_flow.exr" % j))[..., :2]
+            mask = (lo_rgb[..., 3:4] > 0).astype(np.float32)
+            fl = np.asarray(inpaint_flow(
+                jnp.asarray(fl)[None], jnp.asarray(mask)[None],
+                iterations=inpaint_iterations))[0]
+            highs.append(high.astype(np.float32))
+            lows.append(low.astype(np.float32))
+            flows.append(fl.astype(np.float32))
+        seqs.append({"high": np.stack(highs), "low": np.stack(lows),
+                     "flow": np.stack(flows)})
+        idx += 1
+    return seqs
