@@ -113,12 +113,20 @@ class EnhanceNet(nn.Module):
                                  dtype=dtype, name=f"block{i}_bn2")(y)
             feat = feat + y
 
+        # upsampling stages: one (x2 + conv + ReLU) per factor of 2.  The
+        # reference hard-asserts 4x (`enhancenet.py:16`); this generalizes to
+        # any power of two (the 8x stretch config of BASELINE.json).
+        import math as _math
+        u = cfg.upscale_factor
+        stages = int(_math.log2(u))
+        assert 2 ** stages == u, f"upscale factor must be a power of 2: {u}"
         up_mode = cfg.upsample
-        y = _Upsample2x(up_mode, cfg.num_features, dtype, name="up1")(feat)
-        y = nn.relu(conv(cfg.num_features, "post1")(y))
-        y = _Upsample2x(up_mode, cfg.num_features, dtype, name="up2")(y)
-        y = nn.relu(conv(cfg.num_features, "post2")(y))
-        y = nn.relu(conv(cfg.num_features, "post3")(y))
+        y = feat
+        for si in range(stages):
+            y = _Upsample2x(up_mode, cfg.num_features, dtype,
+                            name=f"up{si + 1}")(y)
+            y = nn.relu(conv(cfg.num_features, f"post{si + 1}")(y))
+        y = nn.relu(conv(cfg.num_features, f"post{stages + 1}")(y))
         # zero-init the output conv: with residual reconstruction the network
         # then starts exactly as the bilinear upsampler and training only
         # refines it (design improvement over the reference, which starts at

@@ -214,3 +214,17 @@ def test_enhancenet_bf16_compute():
     out, _ = net.apply(params, x)
     assert out.dtype == jnp.float32
     assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.parametrize("factor", [2, 8])
+def test_enhancenet_other_upscale_factors(factor):
+    """BASELINE.json stretch config: power-of-two factors beyond 4x."""
+    cfg = ModelConfig(num_residual_blocks=1, num_features=8,
+                      upscale_factor=factor)
+    net = create_network(cfg)
+    cin = network_input_channels(cfg)
+    assert cin == 5 + 6 * factor ** 2
+    x = jnp.zeros((1, 4, 4, cin), jnp.float32)
+    params = net.init(jax.random.PRNGKey(0), x)
+    out, _ = net.apply(params, x)
+    assert out.shape == (1, 4 * factor, 4 * factor, 6)
