@@ -146,7 +146,7 @@ def load_sequences(args, cfg):
         seq_cfg = SequenceConfig(
             num_frames=args.numFrames,
             high_res=args.cropSize * args.upscaleFactor * 4,
-            ao_samples=64, distance_range=(0.7, 1.0))
+            ao_samples=64, distance_range=(0.95, 1.3))
         base = RenderConfig(isovalue=0.5, step_voxels=0.5)
         print(f"Generating {args.numberOfImages} sequences from "
               f"analytic:{name} ...")
@@ -285,7 +285,16 @@ def main(argv=None) -> None:
                 writer.add_scalar("train/gt_score", float(gt_s), epoch)
                 writer.add_scalar("train/pred_score", float(pred_s), epoch)
             else:
+                prev_state = state
                 state, loss = train_step(state, low, flow, high)
+                if not np.isfinite(float(loss)):
+                    # NaN guard (the reference's benchmarks scan for NaNs,
+                    # mainPSNR2_AllAngles.py:258-262; here a poisoned batch
+                    # is skipped and the update rolled back)
+                    print(f"WARNING: non-finite loss at epoch {epoch}, "
+                          f"batch {n_batches}; skipping batch")
+                    state = prev_state
+                    continue
             epoch_loss += float(loss)
             n_batches += 1
         epoch_loss /= max(n_batches, 1) * t.num_frames

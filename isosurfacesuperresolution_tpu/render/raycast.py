@@ -319,8 +319,12 @@ def shade_hits(hit_world: jnp.ndarray, normal_w: jnp.ndarray,
     mvp_flow = cam_flow.mvp(width, height)
     ndc_cur = project(mvp_cur, hit_world)
     ndc_flow = project(mvp_flow, hit_world)
+    # clamp: hit points that project near a camera's w=0 plane (possible when
+    # the eye sits inside the volume bbox) would emit inf/NaN flow and poison
+    # training through the warp; anything beyond a few screens is meaningless
     flow = 0.5 * (ndc_cur[..., :2] - ndc_flow[..., :2])
-    depth = ndc_cur[..., 2]
+    flow = jnp.nan_to_num(jnp.clip(flow, -4.0, 4.0))
+    depth = jnp.nan_to_num(jnp.clip(ndc_cur[..., 2], -10.0, 10.0))
     normal_vs = normal_w @ cam.normal_matrix().T
 
     m = hit.astype(jnp.float32)
