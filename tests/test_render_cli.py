@@ -66,3 +66,16 @@ def test_ssao_step_edge_occludes():
     assert ao[16, 17] < 1.0
     # far from the edge: unoccluded
     assert ao[16, 28] == 1.0
+
+
+def test_image_vis_lens_figure(tmp_path):
+    from isosurfacesuperresolution_tpu.apps.image_vis import (
+        main, make_lens_figure)
+    rgb = np.random.RandomState(0).rand(32, 32, 3).astype(np.float32)
+    fig = make_lens_figure(rgb, 0.5, 0.5, 0.3, zoom=2)
+    assert fig.shape[0] == 32 and fig.shape[1] > 32
+    out = str(tmp_path / "figs")
+    main(["--volume", "analytic:sphere", "--models", "bilinear", "gt",
+          "--lowRes", "16", "--output", out])
+    assert os.path.exists(os.path.join(out, "sphere_bilinear_lens.png"))
+    assert os.path.exists(os.path.join(out, "sphere_gt_lens.png"))
