@@ -146,15 +146,19 @@ def _sweep_permuted(values: jnp.ndarray,      # (X, Y, Z) permuted volume
 
     zero4 = jnp.zeros((Sn, Tn, 4), jnp.float32)
 
+    # Scan-carry budget note: every carried buffer is (Sn, Tn) and crosses
+    # the scan boundary K (= Z * zss) times, so the carry size dominates the
+    # sweep cost.  Gradients are therefore captured once, at the slice just
+    # BEFORE the crossing (one-sided in z) - a <= half-voxel sampling offset
+    # on a smooth field, bounded by the normal-parity test against the
+    # marcher - instead of the two-plane lerp (which needed 7 more buffers).
     def body(carry, m):
-        (found, m_hit, frac, Fm1, Fm2, gA_s, gA_t, gA_z,
-         gB_s, gB_t, gB_z, recB, shm1, sh_hit) = carry
+        (m_hit, frac, Fm1, g_s, g_t, g_z, shm1, sh_hit) = carry
+        found = m_hit >= 0.0
 
         zc, lam, zf, fz, smax, valid = slice_meta(m)
-        # skip empty slices unless a gradient capture is pending just behind
-        # the surface
-        pending = jnp.any(found & (~recB))
-        do = valid & ((smax >= iso) | pending)
+        # skip slices that cannot contain the isosurface
+        do = valid & (smax >= iso)
         F = jax.lax.cond(do, lambda: resample_slice(lam, zf, fz),
                          lambda: zero)
         F = jnp.where(valid, F, zero)
@@ -168,18 +172,9 @@ def _sweep_permuted(values: jnp.ndarray,      # (X, Y, Z) permuted volume
         def dcen(A, axis):
             return 0.5 * (jnp.roll(A, -1, axis) - jnp.roll(A, 1, axis))
 
-        gs_prev = dcen(Fm1, 0)
-        gt_prev = dcen(Fm1, 1)
-        gz_prev = 0.5 * (F - Fm2)              # d/dm at plane m-1
-
-        gA_s = jnp.where(crossing, gs_prev, gA_s)
-        gA_t = jnp.where(crossing, gt_prev, gA_t)
-        gA_z = jnp.where(crossing, gz_prev, gA_z)
-        captureB = found & (~recB) & (jnp.float32(m) == m_hit + 1.0)
-        gB_s = jnp.where(captureB, gs_prev, gB_s)
-        gB_t = jnp.where(captureB, gt_prev, gB_t)
-        gB_z = jnp.where(captureB, gz_prev, gB_z)
-        recB = recB | captureB
+        g_s = jnp.where(crossing, dcen(Fm1, 0), g_s)
+        g_t = jnp.where(crossing, dcen(Fm1, 1), g_t)
+        g_z = jnp.where(crossing, F - Fm1, g_z)   # one-sided d/dm at m-1/2
 
         if use_volume_ao:
             # baked SH occlusion sampled like a second density channel;
@@ -188,22 +183,12 @@ def _sweep_permuted(values: jnp.ndarray,      # (X, Y, Z) permuted volume
                               lambda: zero4)
             sh_hit = jnp.where(crossing[..., None], sh, sh_hit)
             shm1 = sh
-        found = found | crossing
-        return (found, m_hit, frac, F, Fm1, gA_s, gA_t, gA_z,
-                gB_s, gB_t, gB_z, recB, shm1, sh_hit), None
+        return (m_hit, frac, F, g_s, g_t, g_z, shm1, sh_hit), None
 
-    init = (jnp.zeros((Sn, Tn), bool), zero - 1.0, zero, zero, zero,
-            zero, zero, zero, zero, zero, zero, jnp.zeros((Sn, Tn), bool),
-            zero4, zero4)
-    (found, m_hit, frac, _, _, gA_s, gA_t, gA_z, gB_s, gB_t, gB_z,
-     recB, _, sh_hit), _ = jax.lax.scan(body, init, jnp.arange(K))
-
-    gB_s = jnp.where(recB, gB_s, gA_s)
-    gB_t = jnp.where(recB, gB_t, gA_t)
-    gB_z = jnp.where(recB, gB_z, gA_z)
-    g_s = (1 - frac) * gA_s + frac * gB_s
-    g_t = (1 - frac) * gA_t + frac * gB_t
-    g_z = (1 - frac) * gA_z + frac * gB_z
+    init = (zero - 1.0, zero, zero, zero, zero, zero, zero4, zero4)
+    (m_hit, frac, _, g_s, g_t, g_z, _, sh_hit), _ = jax.lax.scan(
+        body, init, jnp.arange(K))
+    found = m_hit >= 0.0
 
     # continuous hit position in permuted voxel coords
     m_star = m_hit - 1.0 + frac
