@@ -104,3 +104,24 @@ def test_descriptor_dataset(tmp_path):
     seqs = load_sequences(args, cfg)
     assert len(seqs) == 1
     assert seqs[0]["low"].shape == (2, 32, 32, 5)
+
+
+def test_pipe_client_roundtrip():
+    from isosurfacesuperresolution_tpu.infer.pipe_client import PipeRenderer
+    env_backup = os.environ.get("JAX_PLATFORMS")
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    try:
+        with PipeRenderer.local_server("analytic:sphere", 24, 16) as r:
+            r.send_command("cameraOrigin", "0,1,-1.7")
+            r.send_command("isovalue", "0.5")
+            frame = r.render()
+            assert frame.shape == (16, 24, 12)
+            assert frame[..., 3].max() == 1.0
+            assert r.last_time > 0
+            # second frame reuses the process
+            r.send_command("cameraOrigin", "0.1,1,-1.7")
+            frame2 = r.render()
+            assert frame2.shape == (16, 24, 12)
+    finally:
+        if env_backup is not None:
+            os.environ["JAX_PLATFORMS"] = env_backup
