@@ -87,6 +87,9 @@ def build_parser() -> argparse.ArgumentParser:
     # parallel
     p.add_argument("--dataParallel", type=int, default=1,
                    help="devices on the batch axis (mesh size)")
+    p.add_argument("--hostData", action="store_true",
+                   help="force host-side batching (default: device-resident"
+                        " dataset when it fits)")
     return p
 
 
@@ -233,6 +236,22 @@ def main(argv=None) -> None:
     print(f"#sequences: {len(sequences)}, train crops: {len(train_set)}, "
           f"test crops: {len(test_set)}")
 
+    # device-resident batching: upload all clips once and slice crops on
+    # device (through the tunneled TPU transport, per-batch host uploads
+    # dominate the epoch time otherwise); host batching remains for
+    # augmentation and oversized datasets
+    device_data = None
+    if (not t.augment and cfg.parallel.data_parallel <= 1
+            and not args.hostData):
+        from isosurfacesuperresolution_tpu.train.device_data import (
+            DeviceVideoDataset)
+        dd = DeviceVideoDataset(sequences,
+                                upscale_factor=cfg.model.upscale_factor)
+        if dd.nbytes() < 6 * 1024 ** 3:
+            device_data = dd
+            print(f"device-resident dataset: "
+                  f"{dd.nbytes() / 1e9:.2f} GB in HBM")
+
     model = create_network(cfg.model)
     criterion = LossNetUnshaded(
         cfg.loss, high_res=t.crop_size * cfg.model.upscale_factor)
@@ -273,7 +292,13 @@ def main(argv=None) -> None:
         state.opt_state.hyperparams["learning_rate"] = jax.numpy.asarray(lr)
         t0 = time.time()
         epoch_loss, n_batches = 0.0, 0
-        for low, flow, high in train_set.batches(t.batch_size, rng=rng):
+        if device_data is not None:
+            batch_iter = device_data.batches(train_set.samples,
+                                             t.batch_size, t.crop_size,
+                                             rng=rng)
+        else:
+            batch_iter = train_set.batches(t.batch_size, rng=rng)
+        for low, flow, high in batch_iter:
             if t.adv_training:
                 for _ in range(t.discr_steps):
                     state, d_loss, gt_s, pred_s = d_step(
@@ -303,8 +328,14 @@ def main(argv=None) -> None:
 
         # test pass (parity: mainVideoUnshaded.py:639-726)
         test_loss, test_psnr, n_test = 0.0, 0.0, 0
-        for low, flow, high in test_set.batches(t.batch_size, shuffle=False,
-                                                drop_last=False):
+        if device_data is not None:
+            test_iter = device_data.batches(test_set.samples, t.batch_size,
+                                            t.crop_size, shuffle=False,
+                                            drop_last=True)
+        else:
+            test_iter = test_set.batches(t.batch_size, shuffle=False,
+                                         drop_last=False)
+        for low, flow, high in test_iter:
             l, p = eval_step(state.params, state.aux_params, low, flow, high)
             test_loss += float(l)
             test_psnr += float(p)
