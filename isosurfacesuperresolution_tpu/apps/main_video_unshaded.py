@@ -90,6 +90,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--hostData", action="store_true",
                    help="force host-side batching (default: device-resident"
                         " dataset when it fits)")
+    p.add_argument("--cacheDataset", type=str, default=None,
+                   help="directory to cache generated clips (reference npy "
+                        "layout); reused on the next run")
     return p
 
 
@@ -224,7 +227,27 @@ def main(argv=None) -> None:
     t = cfg.train
     rng = np.random.RandomState(t.seed)
 
-    sequences = load_sequences(args, cfg)
+    if args.cacheDataset and os.path.exists(
+            os.path.join(args.cacheDataset, "low_00000.npy")):
+        from isosurfacesuperresolution_tpu.data.dataset import (
+            load_reference_npy_dir)
+        print("loading cached dataset from", args.cacheDataset)
+        sequences = load_reference_npy_dir(args.cacheDataset)
+    else:
+        sequences = load_sequences(args, cfg)
+        if args.cacheDataset:
+            os.makedirs(args.cacheDataset, exist_ok=True)
+            for i, seq in enumerate(sequences):
+                np.save(os.path.join(args.cacheDataset,
+                                     "low_%05d.npy" % i),
+                        seq["low"].transpose(0, 3, 1, 2))
+                np.save(os.path.join(args.cacheDataset,
+                                     "high_%05d.npy" % i),
+                        seq["high"].transpose(0, 3, 1, 2))
+                np.save(os.path.join(args.cacheDataset,
+                                     "flow_%05d.npy" % i),
+                        seq["flow"].transpose(0, 3, 1, 2))
+            print("cached dataset to", args.cacheDataset)
     dataset = VideoDataset(sequences, upscale_factor=cfg.model.upscale_factor)
     samples = dataset.collect_samples(t.samples, t.crop_size,
                                       t.min_fill_rate, rng,

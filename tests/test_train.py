@@ -194,3 +194,22 @@ def test_params_npz_roundtrip(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(params),
                     jax.tree_util.tree_leaves(loaded)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_remat_train_step():
+    """--remat path: jax.checkpoint on the frame body compiles and trains."""
+    cfg = _tiny_config()
+    cfg = cfg.replace(train=cfg.train.__class__(
+        **{**cfg.train.__dict__, "remat": True}))
+    model = create_network(cfg.model)
+    criterion = LossNetUnshaded(cfg.loss, high_res=cfg.train.crop_size * 4)
+    opt = make_optimizer(cfg)
+    state = create_train_state(cfg, model, criterion, opt,
+                               jax.random.PRNGKey(0))
+    step = make_train_step(cfg, model, criterion, opt)
+    rng = np.random.RandomState(7)
+    low, flow, high = _fake_clip(rng)
+    state, loss1 = step(state, low, flow, high)
+    state, loss2 = step(state, low, flow, high)
+    assert np.isfinite(float(loss1)) and np.isfinite(float(loss2))
+    assert float(loss2) <= float(loss1) * 1.05
