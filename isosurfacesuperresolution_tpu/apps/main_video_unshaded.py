@@ -31,7 +31,7 @@ def build_parser() -> argparse.ArgumentParser:
     # dataset (reference: --dataset, mainVideoUnshaded.py:37-44)
     p.add_argument("--dataset", type=str, default="analytic:blobs",
                    help="npy clip dir / index file, or analytic:<name> "
-                        "(sphere|torus|gyroid|blobs), or a .dat/.raw volume")
+                        "(sphere|torus|gyroid|blobs|mix), or a .dat/.raw volume")
     p.add_argument("--numberOfImages", type=int, default=8,
                    help="sequences to generate for analytic datasets")
     p.add_argument("--testFraction", type=float, default=0.2)
@@ -148,6 +148,21 @@ def load_sequences(args, cfg):
                   "blobs": analytic.blobs_volume}
         if name not in makers:
             raise SystemExit(f"unknown analytic volume {name}")
+        if name == "mix":
+            grids = [(analytic.blobs_volume(128, num_blobs=8), (0.5, 0.5)),
+                     (analytic.torus_volume(128), (0.5, 0.5)),
+                     (analytic.gyroid_volume(128), (0.45, 0.55)),
+                     (analytic.blobs_volume(128, num_blobs=14, seed=7),
+                      (0.4, 0.6))]
+            seq_cfg = SequenceConfig(
+                num_frames=args.numFrames,
+                high_res=args.cropSize * args.upscaleFactor * 4,
+                ao_samples=64, distance_range=(0.95, 1.3))
+            base = RenderConfig(step_voxels=0.5)
+            print(f"Generating {args.numberOfImages} sequences from "
+                  f"analytic:mix ...")
+            return generate_sequences(grids, args.numberOfImages, seq_cfg,
+                                      base_render_cfg=base, seed=args.seed)
         grid = makers[name](128)
         seq_cfg = SequenceConfig(
             num_frames=args.numFrames,

@@ -127,12 +127,14 @@ class EnhanceNet(nn.Module):
                             name=f"up{si + 1}")(y)
             y = nn.relu(conv(cfg.num_features, f"post{si + 1}")(y))
         y = nn.relu(conv(cfg.num_features, f"post{stages + 1}")(y))
-        # zero-init the output conv: with residual reconstruction the network
-        # then starts exactly as the bilinear upsampler and training only
-        # refines it (design improvement over the reference, which starts at
-        # bilinear + O(1) conv noise).  Extra channels beyond the residual
-        # mask (the AO channel in the unshaded config) get bias 1 so they
-        # start at the no-occlusion default instead of black.
+        # small-variance output-conv init: with residual reconstruction the
+        # network starts NEAR the bilinear upsampler (an improvement over
+        # the reference's O(1) conv noise) while keeping healthy upstream
+        # gradients.  (An exact zero init was tried and is a trap: tiny
+        # out-kernel => tiny upstream gradients => features never train and
+        # the readout shrinks back to the identity; verified empirically.)
+        # Extra channels beyond the residual mask (the AO channel in the
+        # unshaded config) get bias 1: the no-occlusion default.
         n_extra = cfg.output_channels - len(cfg.channel_mask)
 
         def out_bias_init(key, shape, dtype=jnp.float32):
@@ -142,7 +144,8 @@ class EnhanceNet(nn.Module):
             return b
 
         outputs = nn.Conv(cfg.output_channels, (3, 3), padding=1, dtype=dtype,
-                          kernel_init=nn.initializers.zeros,
+                          kernel_init=nn.initializers.variance_scaling(
+                              0.01, "fan_in", "truncated_normal"),
                           bias_init=out_bias_init,
                           name="out")(y).astype(jnp.float32)
 
