@@ -213,3 +213,44 @@ def test_remat_train_step():
     state, loss2 = step(state, low, flow, high)
     assert np.isfinite(float(loss1)) and np.isfinite(float(loss2))
     assert float(loss2) <= float(loss1) * 1.05
+
+
+def test_training_learns_beyond_identity():
+    """Regression test for the zero-init trap: on a target that the
+    residual identity CANNOT express (permuted/nonlinear channels), training
+    must descend well below the identity model's loss."""
+    cfg = Config(
+        model=ModelConfig(num_residual_blocks=2, num_features=16),
+        loss=LossConfig(padding=2),
+        train=TrainConfig(batch_size=4, crop_size=8, num_frames=2,
+                          learning_rate=2e-3),
+    )
+    rng = np.random.RandomState(0)
+    low = rng.rand(4, 2, 8, 8, 5).astype(np.float32)
+    low[..., 0] = np.sign(low[..., 0] - 0.3)
+    flow = np.zeros((4, 2, 8, 8, 2), np.float32)
+    up = np.repeat(np.repeat(low, 4, axis=2), 4, axis=3)
+    high = np.zeros((4, 2, 32, 32, 6), np.float32)
+    high[..., 0] = up[..., 0]
+    high[..., 1] = up[..., 2]           # swapped
+    high[..., 2] = -up[..., 1]          # swapped + flipped
+    high[..., 3] = np.abs(up[..., 3])
+    high[..., 4] = up[..., 4] ** 2      # nonlinear
+    high[..., 5] = 0.3 + 0.4 * up[..., 4]
+
+    model = create_network(cfg.model)
+    crit = LossNetUnshaded(cfg.loss, high_res=32)
+    opt = make_optimizer(cfg)
+    state = create_train_state(cfg, model, crit, opt, jax.random.PRNGKey(0))
+    step = make_train_step(cfg, model, crit, opt)
+    low, flow, high = jnp.asarray(low), jnp.asarray(flow), jnp.asarray(high)
+
+    # identity reference: loss of the untrained (near-identity) model
+    _, loss_identity = step(state, low, flow, high)
+    losses = []
+    for _ in range(250):
+        state, loss = step(state, low, flow, high)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < 0.55 * float(loss_identity), (
+        float(loss_identity), losses[-1])
