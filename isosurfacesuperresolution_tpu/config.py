@@ -135,6 +135,12 @@ class ModelConfig:
     num_residual_blocks: int = 10
     num_features: int = 64
     compute_dtype: str = "float32"     # "bfloat16" for the fast path
+    # Fold `upsample x2 -> conv` into one low-res conv + pixel shuffle
+    # (ops/fused_upsample.py): same parameters, exact in the interior, only
+    # the 1-px high-res border differs.  Off for training (keeps the
+    # reference's border semantics bit-for-bit); the fused inference
+    # pipeline and bench turn it on.
+    fused_upsample: bool = False
 
 
 # ---------------------------------------------------------------------------

@@ -58,8 +58,13 @@ class LoadedModel:
         self.inverse_ao = cfg.train.ao_inverted
 
     @classmethod
-    def from_run_dir(cls, run_dir: str,
-                     epoch: Optional[int] = None) -> "LoadedModel":
+    def from_run_dir(cls, run_dir: str, epoch: Optional[int] = None,
+                     fast: bool = False) -> "LoadedModel":
+        """``fast=True`` re-instantiates the generator with
+        ``fused_upsample`` (ops/fused_upsample.py): the parameter tree is
+        identical, so any checkpoint loads either way."""
+        import dataclasses
+
         from isosurfacesuperresolution_tpu.losses.lossnet_unshaded import (
             LossNetUnshaded)
         from isosurfacesuperresolution_tpu.models.generators import (
@@ -70,6 +75,10 @@ class LoadedModel:
             create_train_state, make_optimizer)
 
         cfg = config_from_json(os.path.join(run_dir, "config.json"))
+        if fast:
+            cfg = dataclasses.replace(
+                cfg, model=dataclasses.replace(cfg.model,
+                                               fused_upsample=True))
         model = create_network(cfg.model)
         criterion = LossNetUnshaded(
             cfg.loss, high_res=cfg.train.crop_size * cfg.model.upscale_factor)

@@ -228,3 +228,43 @@ def test_enhancenet_other_upscale_factors(factor):
     params = net.init(jax.random.PRNGKey(0), x)
     out, _ = net.apply(params, x)
     assert out.shape == (1, 4 * factor, 4 * factor, 6)
+
+
+@pytest.mark.parametrize("method", ["bilinear", "nearest"])
+def test_fused_upsample_matches_unfused(method):
+    """`fused_upsample=True` (ops/fused_upsample.py) is exact in the
+    interior with the SAME parameter tree; border handling differs
+    (edge-clamp vs the unfused conv's zero pad) and propagates ~6 px
+    inward at the output resolution through the post-conv chain."""
+    import dataclasses
+    cfg0 = ModelConfig(num_residual_blocks=2, upsample=method)
+    cfg1 = dataclasses.replace(cfg0, fused_upsample=True)
+    m0, m1 = create_network(cfg0), create_network(cfg1)
+    cin = network_input_channels(cfg0)
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 12, 16, cin)
+                    .astype(np.float32))
+    params = m0.init(jax.random.PRNGKey(0), x)
+    y0, r0 = m0.apply(params, x)
+    y1, r1 = m1.apply(params, x)       # identical param tree
+    d = np.abs(np.asarray(y0) - np.asarray(y1))
+    assert d[:, 8:-8, 8:-8].max() < 1e-4, d[:, 8:-8, 8:-8].max()
+    assert d.max() > 0  # borders do differ (sanity: two distinct paths)
+
+
+def test_fused_upsample_stencil_kernel_is_resize():
+    """`upsample_stencil_kernel` + pixel_shuffle reproduces the plain
+    bilinear x4 resize away from the border."""
+    from isosurfacesuperresolution_tpu.ops.fused_upsample import (
+        upsample_stencil_kernel)
+    from isosurfacesuperresolution_tpu.ops.resize import (
+        pixel_shuffle, resize)
+    x = jnp.asarray(np.random.RandomState(1).rand(1, 9, 11, 5)
+                    .astype(np.float32))
+    y0 = resize(x, scale=4.0, method="bilinear")
+    k = upsample_stencil_kernel(5, "bilinear", 4)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    y1 = pixel_shuffle(jax.lax.conv_general_dilated(
+        xp, k, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")), 4)
+    d = np.abs(np.asarray(y0) - np.asarray(y1))
+    assert d[:, 4:-4, 4:-4].max() < 1e-5, d[:, 4:-4, 4:-4].max()
