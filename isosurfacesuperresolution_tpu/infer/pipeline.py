@@ -27,7 +27,7 @@ from isosurfacesuperresolution_tpu.config import (
 from isosurfacesuperresolution_tpu.models.videotools import (
     flatten_high, initial_image, warp_upscale)
 from isosurfacesuperresolution_tpu.ops.inpaint import inpaint_flow
-from isosurfacesuperresolution_tpu.ops.resize import resize
+from isosurfacesuperresolution_tpu.ops.resize import pixel_shuffle, resize
 from isosurfacesuperresolution_tpu.render.camera import CameraParams
 from isosurfacesuperresolution_tpu.render.api import render_frame_gbuffer
 from isosurfacesuperresolution_tpu.render.raycast import gbuffer_to_low_input
@@ -47,7 +47,8 @@ def make_fused_frame(model, cfg: Config, render_cfg: RenderConfig,
                      upscale_mode: str = "network",
                      donate: bool = True,
                      shading_cfg: Optional[ShadingConfig] = None,
-                     fast_warp: bool = True):
+                     fast_warp: bool = True,
+                     planar: str = "auto"):
     """Build the jit'd fused frame function.
 
     Returns ``frame(params, grid, cam, cam_prev, state) ->
@@ -58,21 +59,50 @@ def make_fused_frame(model, cfg: Config, render_cfg: RenderConfig,
     fast_warp: use the gather-free shift-blend warp (`ops/warp_fast.py`,
     ~10x faster at 1080p, displacement clamped to 8 px) instead of the exact
     gather warp used in training.
+    planar: "auto" | "on" | "off" - run the sub-pixel-planar engine
+    (`infer/planar.py`: the SR tail, shading, warp, and recurrent state stay
+    at low resolution with the 16 sub-pixels in channels; the only
+    interleave is the final RGB shuffle).  "auto" enables it whenever the
+    model configuration supports it.  The planar state has a different
+    shape, so `initial_state` must be built with the same setting.
     """
+    from isosurfacesuperresolution_tpu.infer.planar import supports_planar
     from isosurfacesuperresolution_tpu.ops.warp_fast import warp_upscale_fast
     m = cfg.model
     u = m.upscale_factor
     shading_cfg = shading_cfg if shading_cfg is not None else cfg.shading
     warp_fn = (partial(warp_upscale_fast, max_disp=8) if fast_warp
                else warp_upscale)
+    use_planar = resolve_planar(cfg, upscale_mode, planar)
 
     def frame(params, grid: BrickGrid, cam: CameraParams,
               cam_prev: CameraParams, state: FrameState):
+        from isosurfacesuperresolution_tpu.infer.planar import (
+            clamp_output_planar, initial_image_planar, planar_apply,
+            screen_space_shading_planar, warp_planar)
         fr = render_frame_gbuffer(grid, cam, cam_prev, render_cfg)
         low = gbuffer_to_low_input(fr)[None]                  # (1,h,w,5)
         flow = fr[None, ..., 8:10]
         mask = fr[None, ..., 3:4]
         flow = inpaint_flow(flow, mask, iterations=8)
+
+        if upscale_mode == "network" and use_planar:
+            from isosurfacesuperresolution_tpu.infer.planar import (
+                planar_rgb_to_planes)
+            init_prev = initial_image_planar(low, m.output_channels,
+                                             "unshaded", False)
+            prev = jnp.where(state.has_prev, state.prev_high, init_prev)
+            warped = warp_planar(prev, flow, special_mask=True, max_disp=8)
+            net_in = jnp.concatenate([low, warped], axis=-1)
+            pred = planar_apply(params, m, net_in)
+            out_planar = clamp_output_planar(pred)
+            # NOTE: channel-FIRST (3, Hh, Wh) - the plane transpose is ~5x
+            # cheaper than HWC at 1080p; hosts moveaxis after the fetch
+            rgb = planar_rgb_to_planes(
+                screen_space_shading_planar(out_planar, shading_cfg))[0]
+            new_state = FrameState(prev_high=out_planar,
+                                   has_prev=jnp.ones((), bool))
+            return rgb, fr, new_state
 
         if upscale_mode == "network":
             init_prev = initial_image(low, m.output_channels,
@@ -98,14 +128,27 @@ def make_fused_frame(model, cfg: Config, render_cfg: RenderConfig,
     return jax.jit(frame, donate_argnums=donate_args)
 
 
-def initial_state(cfg: Config, render_cfg: RenderConfig) -> FrameState:
+def resolve_planar(cfg: Config, upscale_mode: str, planar: str) -> bool:
+    from isosurfacesuperresolution_tpu.infer.planar import supports_planar
+    if planar == "off" or upscale_mode != "network":
+        return False
+    ok = supports_planar(cfg.model)
+    if planar == "on" and not ok:
+        raise ValueError("planar engine does not support this model config")
+    return ok
+
+
+def initial_state(cfg: Config, render_cfg: RenderConfig,
+                  upscale_mode: str = "network",
+                  planar: str = "auto") -> FrameState:
     m = cfg.model
     u = m.upscale_factor
     h, w = render_cfg.height, render_cfg.width
-    return FrameState(
-        prev_high=jnp.zeros((1, h * u, w * u, m.output_channels),
-                            jnp.float32),
-        has_prev=jnp.zeros((), bool))
+    if resolve_planar(cfg, upscale_mode, planar):
+        prev = jnp.zeros((1, h, w, m.output_channels * u * u), jnp.float32)
+    else:
+        prev = jnp.zeros((1, h * u, w * u, m.output_channels), jnp.float32)
+    return FrameState(prev_high=prev, has_prev=jnp.zeros((), bool))
 
 
 @dataclasses.dataclass
@@ -128,11 +171,13 @@ class InferencePipeline:
         self._frame = make_fused_frame(self.model, self.cfg, self.render_cfg,
                                        self.upscale_mode,
                                        shading_cfg=self.shading_cfg)
-        self._state = initial_state(self.cfg, self.render_cfg)
+        self._state = initial_state(self.cfg, self.render_cfg,
+                                    self.upscale_mode)
         self._last_cam: Optional[CameraParams] = None
 
     def reset(self):
-        self._state = initial_state(self.cfg, self.render_cfg)
+        self._state = initial_state(self.cfg, self.render_cfg,
+                                    self.upscale_mode)
         self._last_cam = None
 
     def frame(self, grid: BrickGrid, cam: CameraParams) -> jnp.ndarray:
@@ -141,4 +186,6 @@ class InferencePipeline:
         rgb, _, self._state = self._frame(self.params, grid, cam, cam_prev,
                                           self._state)
         self._last_cam = cam
+        if rgb.ndim == 3 and rgb.shape[0] == 3:    # planar planes -> HWC
+            rgb = np.moveaxis(np.asarray(rgb), 0, -1)
         return rgb

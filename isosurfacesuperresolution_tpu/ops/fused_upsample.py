@@ -50,10 +50,11 @@ def _stencil(method: str, factor: int) -> np.ndarray:
 
     H = 9
     c = H // 2
-    eye = jnp.eye(H, dtype=jnp.float32)[None, :, :, None]  # (1, H, H, 1)
-    # resize along axis -3 only: treat the second H as channels-like width.
-    S = resize(eye, size=(H * factor, H), method=method)[0, :, :, 0]
-    S = np.asarray(S)                                      # (H*f, H)
+    with jax.ensure_compile_time_eval():    # callable from inside a trace
+        eye = jnp.eye(H, dtype=jnp.float32)[None, :, :, None]  # (1,H,H,1)
+        # resize along axis -3 only: the second H acts as width.
+        S = resize(eye, size=(H * factor, H), method=method)[0, :, :, 0]
+        S = np.asarray(S)                                  # (H*f, H)
     W = np.zeros((factor, 3, 3), np.float64)
     for a in range(factor):
         for di, d in enumerate((-1, 0, 1)):
@@ -99,3 +100,74 @@ def upsample_stencil_kernel(channels: int, method: str,
     # kernel[m, n, ci, co*f*f + a*f + b] = w0[a, m] w0[b, n] eye[ci, co]
     k = jnp.einsum("am,bn,cf->mncfab", w0, w0, eye)
     return k.reshape(3, 3, channels, channels * factor * factor)
+
+
+def compose_planar_conv3x3(kernel: jnp.ndarray
+                           ) -> "list[tuple[jnp.ndarray, tuple]]":
+    """Express `conv3x3 AFTER pixel_shuffle(2)` as 4 planar convs.
+
+    ``z = conv3x3(PS(y))`` with y (..., H, W, 4*Cin) planar and kernel
+    (3, 3, Cin, Cout) equals, for each output sub-pixel (a, b):
+
+        z_{a,b}[i,j] = sum_{d,e} K[d,e] y_{(a+d)%2,(b+e)%2}[i+(a+d)//2, ...]
+
+    i.e. a 2x2-support conv over the PLANAR channels - no interleave, and
+    the conv runs at the low resolution where the MXU is ~4x more efficient
+    (measured: 6.3 ms vs 15 ms for PS+conv at 1080p/64ch).
+
+    Returns four ``(kernel (2,2,4*Cin,Cout), ((pt,pb),(pl,pr)))`` entries in
+    sub-pixel order (a, b) = (0,0),(0,1),(1,0),(1,1); run each with its
+    padding and interleave the 4 outputs channel-wise (cheap minor reshape)
+    to recover the planar (..., H, W, 4*Cout) result.
+
+    Planar channel order is (c, a, b) c-major: index c*4 + a*2 + b - the
+    `ops/resize.pixel_shuffle` convention.
+    """
+    assert kernel.shape[:2] == (3, 3), kernel.shape
+    cin, cout = kernel.shape[2], kernel.shape[3]
+    K = kernel
+    out = []
+    for a in range(2):
+        for b in range(2):
+            kc = jnp.zeros((2, 2, 4 * cin, cout), kernel.dtype)
+            m_offs = (-1, 0) if a == 0 else (0, 1)
+            n_offs = (-1, 0) if b == 0 else (0, 1)
+            for mi, m in enumerate(m_offs):
+                for ni, n in enumerate(n_offs):
+                    for ap in range(2):
+                        for bp in range(2):
+                            d = 2 * m + ap - a
+                            e = 2 * n + bp - b
+                            if abs(d) > 1 or abs(e) > 1:
+                                continue
+                            src = K[d + 1, e + 1]          # (Cin, Cout)
+                            idx = jnp.arange(cin) * 4 + ap * 2 + bp
+                            kc = kc.at[mi, ni, idx, :].set(src)
+            pad_m = (1, 0) if a == 0 else (0, 1)
+            pad_n = (1, 0) if b == 0 else (0, 1)
+            out.append((kc, (pad_m, pad_n)))
+    return out
+
+
+def planar_conv_after_shuffle(y: jnp.ndarray, kernel: jnp.ndarray,
+                              bias: "jnp.ndarray | None" = None,
+                              dtype=None) -> jnp.ndarray:
+    """Apply `conv3x3(PS(y))` in planar space (see compose_planar_conv3x3).
+
+    y : (..., H, W, 4*Cin) planar; kernel (3, 3, Cin, Cout); returns
+    (..., H, W, 4*Cout) planar, channel order (c, a, b).  Matches the
+    interleaved path in the interior; the 1-px planar border sees zero
+    padding on both paths but through different taps.
+    """
+    dtype = dtype or y.dtype
+    parts = []
+    for kc, (pm, pn) in compose_planar_conv3x3(kernel):
+        z = jax.lax.conv_general_dilated(
+            y.astype(dtype), kc.astype(dtype), (1, 1), (pm, pn),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        parts.append(z)
+    z = jnp.stack(parts, axis=-1)              # (..., H, W, Cout, 4)
+    z = z.reshape(*z.shape[:-2], z.shape[-2] * 4)
+    if bias is not None:
+        z = z + jnp.repeat(bias, 4).astype(dtype)
+    return z

