@@ -92,7 +92,9 @@ def make_fused_frame(model, cfg: Config, render_cfg: RenderConfig,
             init_prev = initial_image_planar(low, m.output_channels,
                                              "unshaded", False)
             prev = jnp.where(state.has_prev, state.prev_high, init_prev)
-            warped = warp_planar(prev, flow, special_mask=True, max_disp=8)
+            # bf16 shift-blend: the only consumer is the bf16 network input
+            warped = warp_planar(prev, flow, special_mask=True, max_disp=8,
+                                 compute_dtype=jnp.dtype(m.compute_dtype))
             net_in = jnp.concatenate([low, warped], axis=-1)
             pred = planar_apply(params, m, net_in)
             out_planar = clamp_output_planar(pred)

@@ -287,20 +287,38 @@ def screen_space_shading_planar(buf: jnp.ndarray, cfg: ShadingConfig
     return jnp.concatenate(chans, axis=-1)
 
 
+@lru_cache(maxsize=None)
+def _planes_perm(channels: int) -> np.ndarray:
+    """Nested (c,a2,b2,a1,b1) -> (b1,b2,c,a1,a2) channel order."""
+    idx = np.arange(channels * 16)
+    c, rem = idx // 16, idx % 16
+    a2, b2 = (rem >> 3) & 1, (rem >> 2) & 1
+    a1, b1 = (rem >> 1) & 1, rem & 1
+    tgt = (((b1 * 2 + b2) * channels + c) * 2 + a1) * 2 + a2
+    perm = np.empty(idx.size, np.int64)
+    perm[tgt] = idx
+    return perm
+
+
 def planar_rgb_to_planes(rgb_planar: jnp.ndarray) -> jnp.ndarray:
     """Planar nested RGB (B, h, w, 48) -> channel-FIRST full-res planes
     (B, 3, 4h, 4w).
 
-    Channel-first keeps the transpose's minor dimension at 4w (a full tiled
-    row) instead of 3 RGB channels - the difference between ~1 ms and ~5 ms
-    at 1080p.  Hosts that need HWC can `np.moveaxis` after the fetch.
+    Route chosen by in-context measurement (8.3 ms -> 0.4 ms at 1080p):
+    a static channel permutation puts the column sub-pixel bits (b1, b2)
+    channel-major, so merging them into W is a PURE reshape (memory-order
+    preserving - no transpose); the remaining row interleave is a small
+    transpose whose minor dimension is the full 4w row, not 3 RGB
+    channels.  A naive 8-d transpose costs ~8 ms; XLA's generic transpose
+    cannot see this factorization.
     """
-    b, h, w, _ = rgb_planar.shape
-    # nested: (c, a2, b2, a1, b1)
-    x = rgb_planar.reshape(b, h, w, 3, 2, 2, 2, 2)
-    #                      0  1  2  3  a2 b2 a1 b1
-    x = x.transpose(0, 3, 1, 6, 4, 2, 7, 5)   # (b, c, h, a1, a2, w, b1, b2)
-    return x.reshape(b, 3, 4 * h, 4 * w)
+    b, h, w, C = rgb_planar.shape
+    c = C // 16
+    y = rgb_planar[..., _planes_perm(c)]           # (b,h,w,(b1,b2,c,a1,a2))
+    y = y.reshape(b, h, w * 4, c * 4)              # merge (w,b1,b2): pure
+    y = y.reshape(b, h, w * 4, c, 4)               # split (c, (a1,a2))
+    y = y.transpose(0, 3, 1, 4, 2)                 # (b, c, h, a1a2, 4w)
+    return y.reshape(b, c, 4 * h, 4 * w)
 
 
 def initial_image_planar(low: jnp.ndarray, output_channels: int, mode: str,
@@ -428,14 +446,16 @@ def _planar_linspace(nh: int, nl: int, axis_is_x: bool) -> np.ndarray:
 
 
 def warp_planar(prev_planar: jnp.ndarray, flow_low: jnp.ndarray,
-                special_mask: bool = False, max_disp: int = 8
-                ) -> jnp.ndarray:
+                special_mask: bool = False, max_disp: int = 8,
+                compute_dtype=None) -> jnp.ndarray:
     """`ops/warp_fast.warp_upscale_fast` on the planar (nested) state.
 
     prev_planar : (B, h, w, 96) planar previous prediction.
     flow_low    : (B, h, w, 2) screen flow (renderer convention).
     Returns the warped planar buffer - which IS the (permuted) flattened
     network input, so `flatten_high` disappears from the frame.
+    compute_dtype: bfloat16 halves the shift-blend bandwidth; safe when
+    the only consumer is the bf16 network input (the fused pipeline).
     """
     b, h, w, c96 = prev_planar.shape
     C = c96 // 16
@@ -459,10 +479,11 @@ def warp_planar(prev_planar: jnp.ndarray, flow_low: jnp.ndarray,
 
     pos_x = ((gx_p + fx + 1.0) * wh - 1.0) * 0.5
     pos_y = ((gy_p + fy + 1.0) * hh - 1.0) * 0.5
-    disp_x = jnp.tile(pos_x - ix_p, (1, 1, 1, C))
-    disp_y = jnp.tile(pos_y - iy_p, (1, 1, 1, C))
+    dt = compute_dtype or prev_planar.dtype
+    disp_x = jnp.tile(pos_x - ix_p, (1, 1, 1, C)).astype(dt)
+    disp_y = jnp.tile(pos_y - iy_p, (1, 1, 1, C)).astype(dt)
 
-    img = prev_planar
+    img = prev_planar.astype(dt)
     if special_mask:
         img = jnp.concatenate([img[..., 0:16] * 0.5 + 0.5, img[..., 16:]],
                               axis=-1)
@@ -471,4 +492,4 @@ def warp_planar(prev_planar: jnp.ndarray, flow_low: jnp.ndarray,
     if special_mask:
         out = jnp.concatenate([out[..., 0:16] * 2.0 - 1.0, out[..., 16:]],
                               axis=-1)
-    return out
+    return out.astype(prev_planar.dtype)

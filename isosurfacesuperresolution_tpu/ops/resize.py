@@ -16,6 +16,7 @@ from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _out_shape(x: jnp.ndarray, scale: float | None,
@@ -88,15 +89,28 @@ def pixel_shuffle(x: jnp.ndarray, factor: int) -> jnp.ndarray:
     Channel order matches torch's NCHW PixelShuffle after layout conversion:
     input channel index c*r*r + dy*r + dx feeds output channel c at
     sub-pixel (dy, dx).
+
+    TPU note: implemented as a static channel permutation (putting the
+    column sub-pixel channel-major) followed by a memory-order-preserving
+    reshape that merges it into W, then one small transpose for the row
+    interleave.  XLA's generic 5-d transpose for the naive formulation
+    costs ~8 ms at 1080p; this route measures ~0.5 ms in context.
     """
     r = factor
     *lead, h, w, c = x.shape
     cout = c // (r * r)
-    x = x.reshape(*lead, h, w, cout, r, r)
-    # (..., h, w, cout, ry, rx) -> (..., h, ry, w, rx, cout)
-    x = jnp.moveaxis(x, (-3, -2, -1), (-1, -4, -2))
-    # now (..., h, ry, w, rx, cout)
-    return x.reshape(*lead, h * r, w * r, cout)
+    # channel perm: (c, ry, rx) c-major -> (rx, c, ry)
+    idx = np.arange(c)
+    cc, rem = idx // (r * r), idx % (r * r)
+    ry, rx = rem // r, rem % r
+    tgt = (rx * cout + cc) * r + ry
+    perm = np.empty(c, np.int64)
+    perm[tgt] = idx
+    y = x[..., perm]
+    y = y.reshape(*lead, h, w * r, cout * r)       # merge (w, rx): pure
+    y = y.reshape(*lead, h, w * r, cout, r)        # split (c, ry)
+    y = jnp.moveaxis(y, -1, -3)                    # (..., h, ry, w*r, c)
+    return y.reshape(*lead, h * r, w * r, cout)
 
 
 def pixel_unshuffle(x: jnp.ndarray, factor: int) -> jnp.ndarray:
@@ -109,7 +123,16 @@ def pixel_unshuffle(x: jnp.ndarray, factor: int) -> jnp.ndarray:
     r = factor
     *lead, hr, wr, c = x.shape
     h, w = hr // r, wr // r
-    x = x.reshape(*lead, h, r, w, r, c)
-    # (..., h, ry, w, rx, c) -> (..., h, w, c, ry, rx)
-    x = jnp.moveaxis(x, (-4, -2), (-2, -1))
-    return x.reshape(*lead, h, w, c * r * r)
+    # inverse of the pixel_shuffle fast route: small transpose un-doing the
+    # row interleave, pure reshape splitting W, static channel permutation
+    y = x.reshape(*lead, h, r, wr, c)
+    y = jnp.moveaxis(y, -3, -1)                    # (..., h, w*r, c, ry)
+    y = y.reshape(*lead, h, w, r * c * r)          # split (w, rx): pure
+    cout = c * r * r
+    idx = np.arange(cout)                          # (rx, c, ry) order now
+    rx, rem = idx // (c * r), idx % (c * r)
+    cc, ry = rem // r, rem % r
+    perm = (cc * r + ry) * r + rx                  # -> (c, ry, rx) c-major
+    inv = np.empty(cout, np.int64)
+    inv[perm] = idx
+    return y[..., inv]

@@ -153,7 +153,10 @@ def _sweep_permuted(values: jnp.ndarray,      # (X, Y, Z) permuted volume
     # on a smooth field, bounded by the normal-parity test against the
     # marcher - instead of the two-plane lerp (which needed 7 more buffers).
     def body(carry, m):
-        (m_hit, frac, Fm1, g_s, g_t, g_z, shm1, sh_hit) = carry
+        if use_volume_ao:
+            (m_hit, frac, Fm1, g_s, g_t, g_z, sh_hit) = carry
+        else:
+            (m_hit, frac, Fm1, g_s, g_t, g_z) = carry
         found = m_hit >= 0.0
 
         zc, lam, zf, fz, smax, valid = slice_meta(m)
@@ -182,12 +185,18 @@ def _sweep_permuted(values: jnp.ndarray,      # (X, Y, Z) permuted volume
             sh = jax.lax.cond(do, lambda: resample_ao_slice(lam, zf, fz),
                               lambda: zero4)
             sh_hit = jnp.where(crossing[..., None], sh, sh_hit)
-            shm1 = sh
-        return (m_hit, frac, F, g_s, g_t, g_z, shm1, sh_hit), None
+            return (m_hit, frac, F, g_s, g_t, g_z, sh_hit), None
+        return (m_hit, frac, F, g_s, g_t, g_z), None
 
-    init = (zero - 1.0, zero, zero, zero, zero, zero, zero4, zero4)
-    (m_hit, frac, _, g_s, g_t, g_z, _, sh_hit), _ = jax.lax.scan(
-        body, init, jnp.arange(K))
+    # carry buffers cross the scan boundary K times; unrolling keeps them
+    # in registers/VMEM between unrolled steps, dividing the HBM carry
+    # traffic (the sweep's dominant cost) by the unroll factor
+    init = (zero - 1.0, zero, zero, zero, zero, zero)
+    if use_volume_ao:
+        init = init + (zero4,)
+    res, _ = jax.lax.scan(body, init, jnp.arange(K), unroll=8)
+    (m_hit, frac, _, g_s, g_t, g_z) = res[:6]
+    sh_hit = res[6] if use_volume_ao else zero4
     found = m_hit >= 0.0
 
     # continuous hit position in permuted voxel coords

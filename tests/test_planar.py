@@ -171,3 +171,14 @@ def test_fused_frame_planar_matches_standard():
         d = np.abs(frames["off"][i] - frames["on"][i])
         inner = d[16:-16, 16:-16]
         assert inner.max() < 5e-3, (i, inner.max())
+
+
+def test_planar_rgb_to_planes_matches_pixel_shuffle():
+    from isosurfacesuperresolution_tpu.infer.planar import (
+        planar_rgb_to_planes)
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.rand(2, 5, 7, 48).astype(np.float32))
+    hwc = pixel_shuffle(state_to_flat(x, channels=3), 4)   # (2,20,28,3)
+    planes = planar_rgb_to_planes(x)                       # (2,3,20,28)
+    np.testing.assert_allclose(np.asarray(planes),
+                               np.asarray(hwc).transpose(0, 3, 1, 2))
