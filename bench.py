@@ -45,7 +45,8 @@ def main() -> None:
     cfg = Config(model=ModelConfig(compute_dtype="bfloat16"))
     render_cfg = RenderConfig(width=480, height=270, isovalue=0.5,
                               ao_samples=0, renderer="sweep",
-                              sweep_oversample=1.25)
+                              sweep_oversample=1.25,
+                              sweep_dtype="bfloat16")
 
     model = create_network(cfg.model)
     cin = network_input_channels(cfg.model)

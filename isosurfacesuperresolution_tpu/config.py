@@ -60,6 +60,11 @@ class RenderConfig:
     renderer: str = "sweep"
     sweep_oversample: float = 1.5      # intermediate grid resolution factor
     sweep_z_supersample: int = 2       # slice planes per voxel along the axis
+    # dtype of the per-slice resample matmuls (accumulation is always f32).
+    # bfloat16 doubles the MXU rate of the sweep's dominant cost; the
+    # density quantization (~3e-3 relative) is below the isosurface
+    # refinement's half-voxel sampling error.  float32 = reference-exact.
+    sweep_dtype: str = "float32"
 
     isovalue: float = 0.36
     step_voxels: float = 0.25          # march step in voxel units

@@ -126,13 +126,17 @@ def _sweep_permuted(values: jnp.ndarray,      # (X, Y, Z) permuted volume
         y_pos = eye_p[1] + lam * (t_grid - eye_p[1])
         return interp_matrix(x_pos, X), interp_matrix(y_pos, Y)
 
+    mm_dtype = jnp.dtype(cfg.sweep_dtype)
+
     def resample_slice(lam, zf, fz):
         sl = ((1.0 - fz) * jax.lax.dynamic_slice_in_dim(values, zf, 1, 2)
               + fz * jax.lax.dynamic_slice_in_dim(values, zf + 1, 1, 2)
               )[:, :, 0]
         wx, wy = slice_weights(lam)
-        tmp = jnp.dot(wx, sl, preferred_element_type=jnp.float32)
-        return jnp.dot(tmp, wy.T, preferred_element_type=jnp.float32)
+        tmp = jnp.dot(wx.astype(mm_dtype), sl.astype(mm_dtype),
+                      preferred_element_type=jnp.float32)
+        return jnp.dot(tmp.astype(mm_dtype), wy.T.astype(mm_dtype),
+                       preferred_element_type=jnp.float32)
 
     def resample_ao_slice(lam, zf, fz):
         sl = ((1.0 - fz) * jax.lax.dynamic_slice_in_dim(ao_field, zf, 1, 2)

@@ -131,3 +131,27 @@ def test_fast_warp_rendered_frames():
     err_w = np.abs(warped[0] - cur)[both].mean()
     err_u = np.abs(np.asarray(prev[0]) - cur)[both].mean()
     assert err_w < 0.3 * err_u, (err_w, err_u)
+
+
+def test_sweep_bf16_resample_close_to_f32():
+    """`sweep_dtype=bfloat16` (the fast-path resample) must stay close to
+    the f32 sweep: density quantization ~3e-3 relative, well under the
+    half-voxel refinement error budget."""
+    import dataclasses
+    from isosurfacesuperresolution_tpu.config import RenderConfig
+    from isosurfacesuperresolution_tpu.render.camera import CameraParams
+    from isosurfacesuperresolution_tpu.volume import analytic
+
+    grid = analytic.sphere_volume(48)
+    cam = CameraParams.create((0.3, 0.9, -1.6))
+    cfg32 = RenderConfig(width=48, height=48, isovalue=0.5, ao_samples=0)
+    cfg16 = dataclasses.replace(cfg32, sweep_dtype="bfloat16")
+    fr32 = np.asarray(render_gbuffer_sweep(grid, cam, cam, cfg32))
+    fr16 = np.asarray(render_gbuffer_sweep(grid, cam, cam, cfg16))
+    mask32, mask16 = fr32[..., 3], fr16[..., 3]
+    assert np.mean(mask32 != mask16) < 0.02            # silhouette stable
+    both = (mask32 > 0.5) & (mask16 > 0.5)
+    d_depth = np.abs(fr32[..., 7] - fr16[..., 7])[both]
+    assert d_depth.max() < 0.02, d_depth.max()
+    d_norm = np.abs(fr32[..., 4:7] - fr16[..., 4:7])[both]
+    assert d_norm.max() < 0.15, d_norm.max()
