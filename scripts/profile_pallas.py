@@ -71,3 +71,24 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def phase():
+    import jax, jax.numpy as jnp, numpy as np
+    from isosurfacesuperresolution_tpu.ops.phase_conv import (
+        phase_conv3x3_amajor)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray((rng.rand(1, 540, 960, 256) - 0.5).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    k3 = jnp.asarray((rng.rand(3, 3, 64, 64) - 0.5).astype(np.float32)) * 0.2
+    b = jnp.asarray(rng.rand(64).astype(np.float32))
+    gf_useful = 2 * 9 * 64 * 64 * 1080 * 1920   # the logical conv's FLOPs
+    for th in (8, 16, 32):
+        try:
+            t(f"phase_conv th={th}",
+              lambda c, th=th: phase_conv3x3_amajor(c, k3, b, relu=True,
+                                                    th=th), x,
+              flops=gf_useful)
+        except Exception as e:
+            print(f"phase th={th} failed: {type(e).__name__}: {str(e)[:200]}",
+                  flush=True)
