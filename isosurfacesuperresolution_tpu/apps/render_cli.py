@@ -60,6 +60,16 @@ def build_parser():
                    help="also re-render 1/N resolution (0 = off)")
     p.add_argument("--renderer", type=str, default="sweep")
     p.add_argument("--saveGbuffer", action="store_true")
+    p.add_argument("-m", "--mode", type=str, default="iso",
+                   choices=["iso", "volume"],
+                   help="iso = G-buffer isosurface rendering; volume = "
+                        "direct volume rendering with the transfer "
+                        "function (reference: CPURenderer.cpp:175, "
+                        "GPURenderer.cpp:670-689)")
+    p.add_argument("--tf", type=str, default="",
+                   help="transfer function as d,r,g,b,a;d,r,g,b,a;... "
+                        "(default: the reference's 4-segment ramp)")
+    p.add_argument("--alphaScale", type=float, default=1.0)
     return p
 
 
@@ -76,6 +86,15 @@ def main(argv=None):
 
     grid, vol_name = load_volume(args.volume)
     w, h = int(args.res[0]), int(args.res[1])
+
+    tf = None
+    if args.mode == "volume":
+        from isosurfacesuperresolution_tpu.render.volume_render import (
+            DEFAULT_TF, render_volume_sweep)
+        tf = DEFAULT_TF
+        if args.tf:
+            tf = tuple(tuple(float(x) for x in seg.split(","))
+                       for seg in args.tf.split(";"))
 
     origin = tuple(float(x) for x in args.origin.split(","))
     lookat = tuple(float(x) for x in args.lookat.split(","))
@@ -109,6 +128,21 @@ def main(argv=None):
         eye = tuple((1 - a) * x0 + a * x1 for x0, x1 in zip(o0, o1))
         look = tuple((1 - a) * x0 + a * x1 for x0, x1 in zip(l0, l1))
         cam = CameraParams.create(eye, look, args.up, args.fov)
+        suffix_i = f"_{i:05d}" if args.animation else ""
+        if args.mode == "volume":
+            import dataclasses
+            cfg_v = dataclasses.replace(
+                cfg, volume_alpha_scale=args.alphaScale)
+            rgba = np.asarray(render_volume_sweep(grid, cam, cfg_v, tf))
+            imageio.imwrite(
+                os.path.join(args.output, f"{vol_name}{suffix_i}.png"),
+                (np.clip(rgba, 0, 1) * 255).astype(np.uint8))
+            if args.saveGbuffer:
+                np.savez_compressed(
+                    os.path.join(args.output, f"{vol_name}{suffix_i}.npz"),
+                    rgba=rgba)
+            last = cam
+            continue
         frame = np.asarray(render_frame_gbuffer(grid, cam, last or cam,
                                                 cfg))
         last = cam

@@ -66,6 +66,10 @@ class RenderConfig:
     # refinement's half-voxel sampling error.  float32 = reference-exact.
     sweep_dtype: str = "float32"
 
+    # direct volume rendering (`render/volume_render.py`): transfer-function
+    # opacity multiplier per unit voxel of path length
+    volume_alpha_scale: float = 1.0
+
     isovalue: float = 0.36
     step_voxels: float = 0.25          # march step in voxel units
                                        # (reference uses 0.05: GPURendererDirect.cpp:365;

@@ -79,3 +79,30 @@ def test_image_vis_lens_figure(tmp_path):
           "--lowRes", "16", "--output", out])
     assert os.path.exists(os.path.join(out, "sphere_bilinear_lens.png"))
     assert os.path.exists(os.path.join(out, "sphere_gt_lens.png"))
+
+
+def test_render_cli_volume_mode(tmp_path):
+    from isosurfacesuperresolution_tpu.apps.render_cli import main
+    out = tmp_path / "dvr"
+    main(["--volume", "analytic:sphere", "--res", "24,24",
+          "-m", "volume", "--output", str(out)])
+    import imageio
+    imgs = list(out.glob("*.png"))
+    assert len(imgs) == 1
+    img = imageio.imread(imgs[0])
+    assert img.shape[-1] == 4            # RGBA
+    assert img[..., 3].max() > 30        # volume visible
+
+
+def test_render_cli_volume_custom_tf(tmp_path):
+    from isosurfacesuperresolution_tpu.apps.render_cli import main
+    out = tmp_path / "dvr2"
+    main(["--volume", "analytic:sphere", "--res", "16,16", "-m", "volume",
+          "--tf", "0,0,0,0,0;1,0,0,1,0.5", "--alphaScale", "2.0",
+          "--output", str(out)])
+    import imageio
+    img = imageio.imread(list(out.glob("*.png"))[0])
+    # blue-ramp TF: blue channel dominates where opaque
+    op = img[..., 3] > 60
+    assert op.any()
+    assert img[..., 2][op].mean() > img[..., 0][op].mean()
