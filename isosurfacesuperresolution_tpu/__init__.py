@@ -13,7 +13,8 @@ a single XLA program.
 
 Subpackages
 -----------
-volume    : bricked volume grids, analytic SDF volumes, RAW/.dat/.vdb ingestion
+volume    : bricked volume grids, analytic SDF volumes, RAW/.dat/npy/cvol
+            ingestion (+ .vdb via the OpenVDB bindings when installed)
 render    : camera, ray-march G-buffer renderer (jnp + Pallas), AO, shading
 models    : generator zoo (EnhanceNet, RCAN, TecoGAN, SubpixelNet), video tools
 ops       : resize / grid-sample / inpainting / metrics primitives

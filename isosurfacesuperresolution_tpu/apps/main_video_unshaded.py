@@ -146,7 +146,7 @@ def load_sequences(args, cfg):
                   "torus": analytic.torus_volume,
                   "gyroid": analytic.gyroid_volume,
                   "blobs": analytic.blobs_volume}
-        if name not in makers:
+        if name not in makers and name != "mix":
             raise SystemExit(f"unknown analytic volume {name}")
         if name == "mix":
             grids = [(analytic.blobs_volume(128, num_blobs=8), (0.5, 0.5)),

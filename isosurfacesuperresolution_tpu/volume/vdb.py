@@ -1,0 +1,76 @@
+"""OpenVDB `.vdb` ingestion.
+
+Parity target: the reference loads `.vdb` float grids through the OpenVDB
+library (`CPURenderer.cpp:448-460`) and converts them to GVDB bricks
+(`GPURenderer/Vdb2Vbx.cpp:70-324`, 5-4-3 and 3-4 float trees).  It never
+parses the file format itself - it links OpenVDB.  This module does the
+equivalent: it uses the OpenVDB Python bindings when present and converts
+the grid into this framework's dense `BrickGrid` (normalized to the unit
+box, like `CPURenderer.cpp:448-460`).
+
+The bindings are not part of this image's frozen environment; without them
+`load_vdb` raises with conversion guidance (`.vdb -> .npy/.cvol` offline via
+the same bindings, or the reference's own tooling).  Everything downstream
+consumes the converted `BrickGrid`, so the renderer/training stack is
+format-agnostic.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from isosurfacesuperresolution_tpu.volume.grid import BrickGrid
+
+
+def _import_openvdb():
+    for mod in ("openvdb", "pyopenvdb"):
+        try:
+            return __import__(mod)
+        except ImportError:
+            continue
+    raise ImportError(
+        "reading .vdb files needs the OpenVDB python bindings (`openvdb` "
+        "or `pyopenvdb`), which are not installed in this environment.  "
+        "Convert offline instead:\n"
+        "    import pyopenvdb as vdb, numpy as np\n"
+        "    grid = vdb.readAllGridMetadata('vol.vdb')[0]\n"
+        "    grid = vdb.read('vol.vdb', grid.name)\n"
+        "    bbox = grid.evalActiveVoxelBoundingBox()\n"
+        "    shape = [b - a + 1 for a, b in zip(*bbox)]\n"
+        "    arr = np.zeros(shape, np.float32)\n"
+        "    grid.copyToArray(arr, ijk=bbox[0])\n"
+        "    np.save('vol.npy', arr)\n"
+        "then load the .npy (or `apps.convert_volume` it to .cvol).")
+
+
+def load_vdb(path: str, grid_name: Optional[str] = None,
+             brick_size: int = 8,
+             max_resolution: int = 1024) -> Tuple[BrickGrid, str]:
+    """Load a float grid from a `.vdb` file into a dense `BrickGrid`.
+
+    The active voxel bounding box is densified (background outside), the
+    transform is discarded and the volume normalized to the unit box -
+    the reference does the same on load (`CPURenderer.cpp:448-460`:
+    `gridTransform = normalize to [0,1]^3`).
+    """
+    vdb = _import_openvdb()
+    metas = vdb.readAllGridMetadata(path)
+    if not metas:
+        raise ValueError(f"no grids in {path}")
+    names = [g.name for g in metas]
+    name = grid_name if grid_name is not None else names[0]
+    if name not in names:
+        raise ValueError(f"grid {name!r} not in {path} (has {names})")
+    grid = vdb.read(path, name)
+
+    (x0, y0, z0), (x1, y1, z1) = grid.evalActiveVoxelBoundingBox()
+    shape = (x1 - x0 + 1, y1 - y0 + 1, z1 - z0 + 1)
+    if max(shape) > max_resolution:
+        raise ValueError(
+            f"{path}:{name} active bbox {shape} exceeds max_resolution="
+            f"{max_resolution}; downsample offline first")
+    arr = np.zeros(shape, np.float32)
+    grid.copyToArray(arr, ijk=(x0, y0, z0))
+    return BrickGrid.from_dense(arr, brick_size=brick_size), name
