@@ -1,0 +1,55 @@
+"""Volume-sharded sweep (slab decomposition + halo exchange) vs the
+single-device sweep, on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from isosurfacesuperresolution_tpu.config import RenderConfig
+from isosurfacesuperresolution_tpu.parallel.mesh import make_mesh
+from isosurfacesuperresolution_tpu.parallel.sharded_sweep import (
+    major_axis, render_gbuffer_sweep_sharded)
+from isosurfacesuperresolution_tpu.render.camera import CameraParams
+from isosurfacesuperresolution_tpu.render.sweep import render_gbuffer_sweep
+from isosurfacesuperresolution_tpu.volume import analytic
+
+
+def _mesh(n=8):
+    if len(jax.devices()) < n:
+        pytest.skip(f"needs {n} devices")
+    from jax.sharding import Mesh
+    return Mesh(np.array(jax.devices()[:n]), ("z",))
+
+
+@pytest.mark.parametrize("eye", [(0.3, 0.8, -1.7), (1.8, 0.2, 0.3),
+                                 (-0.1, -1.8, 0.4)])
+def test_sharded_matches_single_device(eye):
+    mesh = _mesh()
+    grid = analytic.blobs_volume(64, num_blobs=5)
+    cam = CameraParams.create(eye)
+    cfg = RenderConfig(width=40, height=32, isovalue=0.5, ao_samples=0)
+
+    ref = np.asarray(render_gbuffer_sweep(grid, cam, cam, cfg))
+    got = np.asarray(render_gbuffer_sweep_sharded(grid, cam, cam, cfg,
+                                                  mesh))
+    assert got.shape == ref.shape == (32, 40, 12)
+    # masks agree except at silhouette jitter
+    assert np.mean(ref[..., 3] != got[..., 3]) < 0.01
+    both = (ref[..., 3] > 0.5) & (got[..., 3] > 0.5)
+    for ch, tol in ((7, 1e-3), (4, 5e-3), (5, 5e-3), (6, 5e-3)):
+        d = np.abs(ref[..., ch] - got[..., ch])[both]
+        assert d.max() < tol, (ch, d.max())
+
+
+def test_sharded_sweep_depth_divides_work():
+    """Structural check: each device's scan covers K/D slice planes."""
+    mesh = _mesh()
+    grid = analytic.sphere_volume(64)
+    cam = CameraParams.create((0.0, 0.9, -1.7))
+    assert major_axis(cam) == 2
+    cfg = RenderConfig(width=16, height=16, isovalue=0.5, ao_samples=0)
+    out = np.asarray(render_gbuffer_sweep_sharded(grid, cam, cam, cfg,
+                                                  mesh))
+    assert np.isfinite(out).all()
+    assert out[..., 3].max() == 1.0       # sphere visible
