@@ -71,7 +71,11 @@ class Viewer:
 
     # -- controls ------------------------------------------------------------
     def set_isovalue(self, v: float):
+        # traced parameter: existing compiled pipelines update in place
+        # (no recompile per slider step; render/params.py)
         self.render_cfg = self.render_cfg.replace(isovalue=float(v))
+        for p in self._pipelines.values():
+            p.set_render_params(isovalue=float(v))
         self.reset_temporal()
 
     def set_shading(self, shading_cfg):
@@ -95,7 +99,7 @@ class Viewer:
         from isosurfacesuperresolution_tpu.config import Config
         from isosurfacesuperresolution_tpu.infer.pipeline import (
             InferencePipeline)
-        key = (mode, self.render_cfg.isovalue)
+        key = mode
         if key not in self._pipelines:
             if mode in self.models:
                 lm = self.models[mode]
@@ -103,6 +107,8 @@ class Viewer:
                     model=lm.model, params=lm.params, cfg=lm.cfg,
                     render_cfg=self.render_cfg,
                     shading_cfg=self.shading_cfg)
+                self._pipelines[key].set_render_params(
+                    isovalue=self.render_cfg.isovalue)
             else:
                 from isosurfacesuperresolution_tpu.models.generators import (
                     create_network, network_input_channels)
@@ -117,7 +123,13 @@ class Viewer:
                     model=model, params=params, cfg=cfg,
                     render_cfg=self.render_cfg, upscale_mode=mode,
                     shading_cfg=self.shading_cfg)
+                self._pipelines[key].set_render_params(
+                    isovalue=self.render_cfg.isovalue)
         return self._pipelines[key]
+
+    def _render_params(self):
+        from isosurfacesuperresolution_tpu.render.params import RenderParams
+        return RenderParams.from_config(self.render_cfg)
 
     # -- focus of context ----------------------------------------------------
     def _foc_bounds_and_mask(self) -> Tuple[Tuple[int, int, int, int],
@@ -162,7 +174,8 @@ class Viewer:
                 height=self.render_cfg.height * self.upscale,
                 ao_samples=self.ao_samples, ao_radius=self.ao_radius)
             fr = render_frame_gbuffer(self.grid, cam,
-                                      self._last_cam or cam, high_cfg)
+                                      self._last_cam or cam, high_cfg,
+                                      self._render_params())
             from isosurfacesuperresolution_tpu.render.raycast import (
                 gbuffer_to_high_target)
             out_high = gbuffer_to_high_target(fr)[None]
@@ -172,9 +185,19 @@ class Viewer:
             pipe = self._pipeline(self.mode)
             cam_prev = pipe._last_cam if pipe._last_cam is not None else cam
             rgb1, low_fr, pipe._state = pipe._frame(
-                pipe.params, self.grid, cam, cam_prev, pipe._state)
+                pipe.params, self.grid, cam, cam_prev, pipe._state,
+                self._render_params())
             pipe._last_cam = cam
             out_high = pipe._state.prev_high
+            if hasattr(rgb1, "ndim") and rgb1.ndim == 3 and \
+                    rgb1.shape[0] == 3:
+                # planar engine: channel-first planes + planar state
+                from isosurfacesuperresolution_tpu.infer.planar import (
+                    state_to_flat)
+                from isosurfacesuperresolution_tpu.ops.resize import (
+                    pixel_shuffle)
+                rgb1 = jnp.moveaxis(rgb1, 0, -1)
+                out_high = pixel_shuffle(state_to_flat(out_high), 4)
             rgb = rgb1
 
         # channel selection (parity: mainGUI.py:803-828)

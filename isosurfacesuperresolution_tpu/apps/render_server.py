@@ -93,8 +93,11 @@ def main(argv=None):
                                       state["up"], state["fov"])
             cam_prev = state["last_cam"] or cam
             t0 = time.time()
+            from isosurfacesuperresolution_tpu.render.params import (
+                RenderParams)
+            rp = RenderParams.from_config(cfg)
             frame = np.asarray(render_frame_gbuffer(grid, cam, cam_prev,
-                                                    cfg))
+                                                    cfg, rp))
             seconds = time.time() - t0
             state["last_cam"] = cam
             # channel-major layout + trailing render time

@@ -90,25 +90,32 @@ def random_camera_path(rng: np.random.RandomState, cfg: SequenceConfig
 
 
 def random_render_settings(rng: np.random.RandomState, cfg: SequenceConfig,
-                           base: RenderConfig) -> RenderConfig:
+                           base: RenderConfig):
     """Random isovalue / material / light
-    (parity: `DataGeneratorVideo.py:129-137`)."""
+    (parity: `DataGeneratorVideo.py:129-137`).
+
+    Returns ``(static_cfg, rp)``: only the camera-light BRANCH lives in the
+    static config (two compilations at most); every numeric knob goes into
+    the traced `RenderParams` so each random sequence reuses the same
+    compiled renderer."""
+    from isosurfacesuperresolution_tpu.render.params import RenderParams
     iso = rng.uniform(*cfg.iso_range)
     diffuse = tuple(rng.uniform(0.2, 1.0, 3).tolist())
     spec = float(rng.uniform(0, 1) ** 3 * 0.3)
-    exponent = int(rng.randint(4, 65))
+    exponent = float(rng.randint(4, 65))
     camera_light = bool(rng.uniform(0, 1) < cfg.camera_light_prob)
     light_dir = tuple(_random_point_on_sphere(rng).tolist())
-    return base.replace(isovalue=iso, diffuse_color=diffuse,
-                        specular_color=(spec, spec, spec),
-                        specular_exponent=exponent,
-                        camera_light=camera_light,
-                        light_direction=light_dir)
+    static_cfg = base.replace(camera_light=camera_light)
+    rp = RenderParams.from_config(static_cfg).replace(
+        isovalue=iso, diffuse_color=diffuse,
+        specular_color=(spec, spec, spec),
+        specular_exponent=exponent, light_direction=light_dir)
+    return static_cfg, rp
 
 
 def render_sequence(grid: BrickGrid, cams: Sequence[CameraParams],
-                    render_cfg: RenderConfig, seq_cfg: SequenceConfig
-                    ) -> Dict[str, np.ndarray]:
+                    render_cfg: RenderConfig, seq_cfg: SequenceConfig,
+                    rp=None) -> Dict[str, np.ndarray]:
     """Render one clip: dict with
 
     - ``low``  (T, h, w, 5)  [mask in [-1,1], normal, depth]
@@ -134,13 +141,15 @@ def render_sequence(grid: BrickGrid, cams: Sequence[CameraParams],
             and grid.ao_sh is None):
         from isosurfacesuperresolution_tpu.render.ao_sweep import (
             attach_baked_ao)
-        grid = attach_baked_ao(grid, cfg_high.isovalue, cfg_high.ao_radius)
+        iso_bake = (cfg_high.isovalue if rp is None
+                    else rp.isovalue)
+        grid = attach_baked_ao(grid, iso_bake, cfg_high.ao_radius)
 
     lows, highs, flows = [], [], []
     for t, cam in enumerate(cams):
         cam_prev = cams[t - 1] if t > 0 else cam
-        fr_hi = render_frame_gbuffer(grid, cam, cam_prev, cfg_high)
-        fr_lo = render_frame_gbuffer(grid, cam, cam_prev, cfg_low)
+        fr_hi = render_frame_gbuffer(grid, cam, cam_prev, cfg_high, rp)
+        fr_lo = render_frame_gbuffer(grid, cam, cam_prev, cfg_low, rp)
         highs.append(gbuffer_to_high_target(fr_hi))
         lows.append(gbuffer_to_low_input(fr_lo))
         flow = gbuffer_flow(fr_lo)[None]
@@ -178,8 +187,8 @@ def generate_sequences(grids: Sequence[Tuple[BrickGrid, Tuple[float, float]]],
         grid, iso_range = grids[rng.randint(len(grids))]
         cfg = dataclass_replace_iso(seq_cfg, iso_range)
         cams = random_camera_path(rng, cfg)
-        rcfg = random_render_settings(rng, cfg, base)
-        seq = render_sequence(grid, cams, rcfg, cfg)
+        rcfg, rp = random_render_settings(rng, cfg, base)
+        seq = render_sequence(grid, cams, rcfg, cfg, rp)
         out.append(seq)
         if out_dir:
             # reference interchange layout: (T, C, H, W)

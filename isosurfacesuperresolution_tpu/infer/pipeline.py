@@ -76,11 +76,11 @@ def make_fused_frame(model, cfg: Config, render_cfg: RenderConfig,
     use_planar = resolve_planar(cfg, upscale_mode, planar)
 
     def frame(params, grid: BrickGrid, cam: CameraParams,
-              cam_prev: CameraParams, state: FrameState):
+              cam_prev: CameraParams, state: FrameState, rp=None):
         from isosurfacesuperresolution_tpu.infer.planar import (
             clamp_output_planar, initial_image_planar, planar_apply,
             screen_space_shading_planar, warp_planar)
-        fr = render_frame_gbuffer(grid, cam, cam_prev, render_cfg)
+        fr = render_frame_gbuffer(grid, cam, cam_prev, render_cfg, rp)
         low = gbuffer_to_low_input(fr)[None]                  # (1,h,w,5)
         flow = fr[None, ..., 8:10]
         mask = fr[None, ..., 3:4]
@@ -168,6 +168,7 @@ class InferencePipeline:
     render_cfg: RenderConfig
     upscale_mode: str = "network"
     shading_cfg: Optional[ShadingConfig] = None
+    render_params: Any = None      # traced RenderParams (isovalue, ...)
 
     def __post_init__(self):
         self._frame = make_fused_frame(self.model, self.cfg, self.render_cfg,
@@ -182,11 +183,24 @@ class InferencePipeline:
                                     self.upscale_mode)
         self._last_cam = None
 
+    def set_render_params(self, **kw):
+        """Update traced per-frame knobs (isovalue, material, light)
+        WITHOUT recompiling - the GUI-slider / pipe `setParameter` path
+        (`GPURendererDirect.cpp:395-428`)."""
+        from isosurfacesuperresolution_tpu.render.params import RenderParams
+        rp = (self.render_params if self.render_params is not None
+              else RenderParams.from_config(self.render_cfg))
+        self.render_params = rp.replace(**kw)
+
     def frame(self, grid: BrickGrid, cam: CameraParams) -> jnp.ndarray:
         """Render + super-resolve + shade one frame; returns (Hh, Wh, 3)."""
+        from isosurfacesuperresolution_tpu.render.params import RenderParams
         cam_prev = self._last_cam if self._last_cam is not None else cam
+        rp = self.render_params
+        if rp is None:
+            rp = RenderParams.from_config(self.render_cfg)
         rgb, _, self._state = self._frame(self.params, grid, cam, cam_prev,
-                                          self._state)
+                                          self._state, rp)
         self._last_cam = cam
         if rgb.ndim == 3 and rgb.shape[0] == 3:    # planar planes -> HWC
             rgb = np.moveaxis(np.asarray(rgb), 0, -1)

@@ -22,11 +22,16 @@ from isosurfacesuperresolution_tpu.volume.grid import BrickGrid
 
 def render_frame_gbuffer(grid: BrickGrid, cam: CameraParams,
                          cam_flow: CameraParams,
-                         cfg: RenderConfig) -> jnp.ndarray:
+                         cfg: RenderConfig, rp=None) -> jnp.ndarray:
     """Render one (H, W, 12) G-buffer with the backend picked by
-    ``cfg.renderer``."""
+    ``cfg.renderer``.
+
+    ``rp`` (`render/params.RenderParams`) carries the TRACED per-frame
+    knobs (isovalue, material, light): pass it to change them at runtime
+    without recompiling (pipe-protocol/GUI-slider/data-generation parity,
+    `GPURendererDirect.cpp:395-428`); None freezes the config values."""
     if cfg.renderer == "sweep":
-        return render_gbuffer_sweep(grid, cam, cam_flow, cfg)
+        return render_gbuffer_sweep(grid, cam, cam_flow, cfg, rp)
     if cfg.renderer == "march":
-        return render_gbuffer(grid, cam, cam_flow, cfg)
+        return render_gbuffer(grid, cam, cam_flow, cfg, rp)
     raise ValueError(f"unknown renderer {cfg.renderer!r}")

@@ -218,6 +218,7 @@ def compute_ao(grid: BrickGrid,
                pixel_xy: jnp.ndarray,       # (N, 2) int pixel coords
                cfg: RenderConfig,
                voxel_size: jnp.ndarray | float,
+               isovalue: "jnp.ndarray | float | None" = None,
                ) -> jnp.ndarray:
     """World-space ray-cast ambient occlusion (render_kernel.cu:109-146).
 
@@ -227,6 +228,7 @@ def compute_ao(grid: BrickGrid,
     """
     if cfg.ao_samples <= 0:
         return jnp.ones(hit_pos_vox.shape[0], jnp.float32)
+    isovalue = cfg.isovalue if isovalue is None else isovalue
 
     hemi, rots = ao_tables(cfg.ao_samples, cfg.ao_rotations)
     rx = pixel_xy[:, 0] % cfg.ao_rotations
@@ -253,7 +255,7 @@ def compute_ao(grid: BrickGrid,
         # world dir = [tangent | bitangent | normal] @ s
         d = (tangent * s[0] + bitangent * s[1] + n * s[2])
         d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
-        hit2, t2 = march_rays(grid, origin, d, cfg.isovalue, cfg.step_voxels,
+        hit2, t2 = march_rays(grid, origin, d, isovalue, cfg.step_voxels,
                               cfg.ao_ray_steps, binary_search_steps=0)
         dist_world = t2 * vsize
         contrib = jnp.where(hit2,
@@ -280,25 +282,30 @@ def _reflect(i: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
 def shade_hits(hit_world: jnp.ndarray, normal_w: jnp.ndarray,
                hit: jnp.ndarray, ao: jnp.ndarray,
                cam: CameraParams, cam_flow: CameraParams,
-               cfg: RenderConfig, width: int, height: int) -> jnp.ndarray:
+               cfg: RenderConfig, width: int, height: int,
+               rp=None) -> jnp.ndarray:
     """Assemble the 12-channel G-buffer from hit records (renderer-agnostic).
 
     hit_world (N, 3), normal_w (N, 3), hit (N,) bool, ao (N,).
     Implements Phong shading, screen-space flow, NDC depth and view-space
     normals exactly as `render_kernel.cu:232-265`; shared by the march and
-    sweep renderers.
+    sweep renderers.  ``rp`` (`render/params.RenderParams`) overrides the
+    numeric material/light knobs without recompiling.
     """
+    if rp is None:
+        from isosurfacesuperresolution_tpu.render.params import RenderParams
+        rp = RenderParams.from_config(cfg)
     npix = hit_world.shape[0]
     # ---- Phong shading in world space (render_kernel.cu:232-237) ----
     if cfg.camera_light:
         light_dir = cam.look_at_pt - cam.eye
         light_dir = light_dir / jnp.maximum(jnp.linalg.norm(light_dir), 1e-12)
     else:
-        light_dir = jnp.asarray(cfg.light_direction, jnp.float32)
+        light_dir = rp.light_direction
         light_dir = light_dir / jnp.maximum(jnp.linalg.norm(light_dir), 1e-12)
-    ambient = jnp.asarray(cfg.ambient_color, jnp.float32)
-    diffuse = jnp.asarray(cfg.diffuse_color, jnp.float32)
-    specular = jnp.asarray(cfg.specular_color, jnp.float32)
+    ambient = rp.ambient_color
+    diffuse = rp.diffuse_color
+    specular = rp.specular_color
 
     eyedir = cam.eye - hit_world
     eyedir = eyedir / jnp.maximum(
@@ -311,8 +318,8 @@ def shade_hits(hit_world: jnp.ndarray, normal_w: jnp.ndarray,
     rdotv = jnp.clip(jnp.sum(refl * eyedir, axis=-1, keepdims=True), 0.0, None)
     # the GPU data-generation kernel uses the constant 3.41 where pi is meant
     # (render_kernel.cu:236); kept for numeric parity with reference data
-    spec_norm = (cfg.specular_exponent + 2) / (2 * 3.41)
-    color = color + specular * spec_norm * rdotv ** cfg.specular_exponent
+    spec_norm = (rp.specular_exponent + 2) / (2 * 3.41)
+    color = color + specular * spec_norm * rdotv ** rp.specular_exponent
 
     # ---- flow + depth + view-space normal (render_kernel.cu:239-249) ----
     mvp_cur = cam.mvp(width, height)
@@ -344,7 +351,8 @@ def shade_hits(hit_world: jnp.ndarray, normal_w: jnp.ndarray,
 def render_gbuffer(grid: BrickGrid,
                    cam: CameraParams,
                    cam_flow: CameraParams,
-                   cfg: RenderConfig) -> jnp.ndarray:
+                   cfg: RenderConfig,
+                   rp=None) -> jnp.ndarray:
     """Render one frame: (H, W, 12) float32 G-buffer.
 
     Channels (parity: `render_kernel.cu:254-265`):
@@ -356,6 +364,9 @@ def render_gbuffer(grid: BrickGrid,
     interactive mode the *previous* camera is passed here so the flow warps
     the previous frame onto the current one (`GPURendererDirect.cpp:436-442`).
     """
+    if rp is None:
+        from isosurfacesuperresolution_tpu.render.params import RenderParams
+        rp = RenderParams.from_config(cfg)
     H, W = cfg.height, cfg.width
     eye, dirs = cam.pixel_rays(W, H)          # (3,), (H, W, 3)
     dirs = dirs.reshape(-1, 3)
@@ -365,7 +376,7 @@ def render_gbuffer(grid: BrickGrid,
     vsize = grid.voxel_size[0]
     origin_vox = grid.world_to_voxel(eye)
 
-    hit, t_hit = march_rays(grid, origin_vox, dirs, cfg.isovalue,
+    hit, t_hit = march_rays(grid, origin_vox, dirs, rp.isovalue,
                             cfg.step_voxels, cfg.max_march_steps,
                             cfg.binary_search_steps)
 
@@ -377,7 +388,8 @@ def render_gbuffer(grid: BrickGrid,
     xx = jnp.tile(jnp.arange(W, dtype=jnp.int32), H)
     yy = jnp.repeat(jnp.arange(H, dtype=jnp.int32), W)
     pixel_xy = jnp.stack([xx, yy], axis=-1)
-    ao = compute_ao(grid, hit_vox, normal_w, dirs, hit, pixel_xy, cfg, vsize)
+    ao = compute_ao(grid, hit_vox, normal_w, dirs, hit, pixel_xy, cfg, vsize,
+                    isovalue=rp.isovalue)
 
     # ---- viewport clipping (render_kernel.cu:222) ----
     if cfg.viewport is not None:
@@ -396,7 +408,7 @@ def render_gbuffer(grid: BrickGrid,
     # convention everywhere: flow w.r.t. the previous camera, warped with the
     # current frame's flow.
     frame = shade_hits(hit_world, normal_w, hit, ao, cam, cam_flow, cfg,
-                       W, H)
+                       W, H, rp=rp)
     return frame.reshape(H, W, 12)
 
 

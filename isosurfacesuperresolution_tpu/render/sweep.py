@@ -68,7 +68,11 @@ def _sweep_permuted(values: jnp.ndarray,      # (X, Y, Z) permuted volume
                     cam_flow: CameraParams,
                     cfg: RenderConfig,
                     perm: Tuple[int, int, int],
-                    ao_field: "jnp.ndarray | None" = None) -> jnp.ndarray:
+                    ao_field: "jnp.ndarray | None" = None,
+                    rp=None) -> jnp.ndarray:
+    if rp is None:
+        from isosurfacesuperresolution_tpu.render.params import RenderParams
+        rp = RenderParams.from_config(cfg)
     use_volume_ao = ao_field is not None
     W, H = cfg.width, cfg.height
     X, Y, Z = values.shape
@@ -77,7 +81,7 @@ def _sweep_permuted(values: jnp.ndarray,      # (X, Y, Z) permuted volume
     Sn = int(round(W * cfg.sweep_oversample))
     Tn = int(round(H * cfg.sweep_oversample))
     sigma = jnp.where(flip, -1.0, 1.0)
-    iso = jnp.float32(cfg.isovalue)
+    iso = jnp.asarray(rp.isovalue, jnp.float32)
 
     def z_c(m):
         zc = (m + 0.5) / zss
@@ -254,12 +258,13 @@ def _sweep_permuted(values: jnp.ndarray,      # (X, Y, Z) permuted volume
         dirs = dirs / jnp.maximum(
             jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
         ao = compute_ao(grid, hit_vox.reshape(-1, 3), flat_normal, dirs,
-                        flat_hit, pix, cfg, grid.voxel_size[0])
+                        flat_hit, pix, cfg, grid.voxel_size[0],
+                        isovalue=rp.isovalue)
     else:
         ao = jnp.ones_like(flat_hit, jnp.float32)
 
     inter = shade_hits(flat_world, flat_normal, flat_hit, ao,
-                       cam, cam_flow, cfg, W, H).reshape(Sn, Tn, 12)
+                       cam, cam_flow, cfg, W, H, rp=rp).reshape(Sn, Tn, 12)
 
     # homography (u_c, v_c, 1) -> intermediate pixel coordinates
     Hs = kk * ray_mat[0] + eye_p[0] * ray_mat[2]
@@ -325,7 +330,8 @@ def _sweep_permuted(values: jnp.ndarray,      # (X, Y, Z) permuted volume
 @partial(jax.jit, static_argnames=("cfg",))
 def render_gbuffer_sweep(grid: BrickGrid, cam: CameraParams,
                          cam_flow: CameraParams,
-                         cfg: RenderConfig) -> jnp.ndarray:
+                         cfg: RenderConfig,
+                         rp=None) -> jnp.ndarray:
     """Sweep-rendered (H, W, 12) G-buffer; same contract as
     `render_gbuffer`.  Fully jit-compatible (traced cameras): the major-axis
     choice is a 3-way `lax.switch`, the axis flip is traced."""
@@ -360,7 +366,7 @@ def render_gbuffer_sweep(grid: BrickGrid, cam: CameraParams,
                         if use_ao_field else None)
             return _sweep_permuted(values, eye_vox[pidx], M[pidx, :], flip,
                                    grid, cam, cam_flow, cfg, perm,
-                                   ao_field=ao_field)
+                                   ao_field=ao_field, rp=rp)
         return branch
 
     return jax.lax.switch(axis, [make_branch(p) for p in _PERMS])

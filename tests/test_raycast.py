@@ -225,3 +225,29 @@ def test_low_input_extraction():
     low = np.asarray(gbuffer_to_low_input(jnp.asarray(frame)))
     assert low.shape == (32, 32, 5)
     assert set(np.unique(low[..., 0])).issubset({-1.0, 1.0})
+
+
+def test_render_params_no_recompile():
+    """Changing isovalue/material through RenderParams must NOT recompile
+    (the reference treats them as per-frame runtime state via setParameter,
+    `GPURendererDirect.cpp:395-428`)."""
+    from isosurfacesuperresolution_tpu.render.params import RenderParams
+    from isosurfacesuperresolution_tpu.render.sweep import (
+        render_gbuffer_sweep)
+    from isosurfacesuperresolution_tpu.volume import analytic
+
+    grid = analytic.sphere_volume(32)
+    cam = CameraParams.create((0.0, 0.9, -1.6))
+    cfg = RenderConfig(width=16, height=16, isovalue=0.5, ao_samples=0)
+    rp = RenderParams.from_config(cfg)
+
+    f0 = np.asarray(render_gbuffer_sweep(grid, cam, cam, cfg, rp))
+    n0 = render_gbuffer_sweep._cache_size()
+    outs = []
+    for iso in (0.3, 0.55, 0.7):
+        rp2 = rp.replace(isovalue=iso, diffuse_color=(iso, 0.5, 0.2))
+        outs.append(np.asarray(render_gbuffer_sweep(grid, cam, cam, cfg,
+                                                    rp2)))
+    assert render_gbuffer_sweep._cache_size() == n0, "recompiled!"
+    # isovalue actually took effect: smaller isovalue -> bigger silhouette
+    assert outs[0][..., 3].sum() > outs[2][..., 3].sum()
