@@ -99,3 +99,22 @@ def test_sharded_camera_rendering():
                                     cfg, mesh)
     assert frames.shape == (n, 16, 16, 12)
     assert np.asarray(frames[..., 3]).max() == 1.0
+
+
+def test_pipeline_set_render_params_no_recompile(setup):
+    """InferencePipeline.set_render_params changes isovalue per frame with
+    ONE compilation of the fused frame (GUI slider / pipe setParameter)."""
+    cfg, render_cfg, model, params, grid = setup
+    from isosurfacesuperresolution_tpu.infer.pipeline import (
+        InferencePipeline)
+    pipe = InferencePipeline(model=model, params=params, cfg=cfg,
+                             render_cfg=render_cfg)
+    cam = CameraParams.create((0.0, 0.9, -1.7))
+    a = np.asarray(pipe.frame(grid, cam))
+    n0 = pipe._frame._cache_size()
+    pipe.set_render_params(isovalue=0.3)
+    b = np.asarray(pipe.frame(grid, cam))
+    pipe.set_render_params(isovalue=0.7)
+    c = np.asarray(pipe.frame(grid, cam))
+    assert pipe._frame._cache_size() == n0, "fused frame recompiled"
+    assert np.abs(a - b).max() > 1e-3 or np.abs(b - c).max() > 1e-3
