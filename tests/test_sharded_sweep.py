@@ -53,3 +53,46 @@ def test_sharded_sweep_depth_divides_work():
                                                   mesh))
     assert np.isfinite(out).all()
     assert out[..., 3].max() == 1.0       # sphere visible
+
+
+def test_stretch_config5_8x_sr_multicamera_sharded():
+    """BASELINE config 5 (stretch): batched multi-camera rendering sharded
+    over the mesh feeding an 8x SR EnhanceNet."""
+    import jax.numpy as jnp
+    from isosurfacesuperresolution_tpu.config import (
+        Config, ModelConfig, RenderConfig)
+    from isosurfacesuperresolution_tpu.models.generators import (
+        create_network, network_input_channels)
+    from isosurfacesuperresolution_tpu.models.videotools import (
+        flatten_high, initial_image)
+    from isosurfacesuperresolution_tpu.parallel.mesh import (
+        make_mesh, render_cameras_sharded)
+    from isosurfacesuperresolution_tpu.render.raycast import (
+        gbuffer_to_low_input)
+
+    mesh = make_mesh(8)
+    grid = analytic.sphere_volume(32)
+    n_cam = 8
+    angs = np.linspace(0, 2 * np.pi, n_cam, endpoint=False)
+    eyes = jnp.asarray(np.stack([1.7 * np.sin(angs),
+                                 np.full(n_cam, 0.7),
+                                 -1.7 * np.cos(angs)], -1), jnp.float32)
+    looks = jnp.zeros((n_cam, 3), jnp.float32)
+    ups = jnp.tile(jnp.asarray([[0.0, 1.0, 0.0]]), (n_cam, 1))
+    rcfg = RenderConfig(width=16, height=16, isovalue=0.5, ao_samples=0)
+    frames = render_cameras_sharded(grid, eyes, looks, ups, rcfg, mesh)
+    assert frames.shape == (n_cam, 16, 16, 12)
+    assert np.isfinite(np.asarray(frames)).all()
+
+    cfg = ModelConfig(num_residual_blocks=1, num_features=8,
+                      upscale_factor=8)
+    net = create_network(cfg)
+    cin = network_input_channels(cfg)
+    low = jax.vmap(gbuffer_to_low_input)(frames)          # (8,16,16,5)
+    prev = initial_image(low, 6, "unshaded", False, 8)    # (8,128,128,6)
+    net_in = jnp.concatenate([low, flatten_high(prev, 8)], axis=-1)
+    assert net_in.shape[-1] == cin
+    params = net.init(jax.random.PRNGKey(0), net_in[:1])
+    out, _ = net.apply(params, net_in)
+    assert out.shape == (n_cam, 128, 128, 6)
+    assert np.isfinite(np.asarray(out)).all()
