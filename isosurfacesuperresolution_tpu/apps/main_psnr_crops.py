@@ -45,12 +45,21 @@ def main(argv=None):
                               test_fraction=args.testFraction)
     print(f"test crops: {len(test)}")
 
-    print(f"{'model':24s} {'mask':>7s} {'normal':>7s} {'depth':>7s} "
-          f"{'ao':>7s}")
+    from isosurfacesuperresolution_tpu.config import ShadingConfig
+    from isosurfacesuperresolution_tpu.render.shading import (
+        screen_space_shading)
+    shading_cfg = ShadingConfig()
+    B = 16    # border crop for raw channels: the training loss zeroes a
+              # 16-px border (lossnet_unshaded.py:170-185), so raw borders
+              # are unconstrained; the reference's own stats harness crops
+              # 15 px (mainPSNR3_AllStats.py BORDER)
+
+    print(f"{'model':24s} {'color':>7s} {'col-i':>7s} {'mask':>7s} "
+          f"{'normal':>7s} {'depth':>7s} {'ao':>7s}")
     for spec in args.models:
         loaded = (None if spec in ("nearest", "bilinear", "bicubic")
                   else LoadedModel.from_run_dir(spec))
-        acc = np.zeros(4)
+        acc = np.zeros(6)
         count = 0
         for i in range(len(test)):
             low, flow, high = test[i]
@@ -66,20 +75,29 @@ def main(argv=None):
                     fl = jnp.asarray(flow[t:t + 1])
                     pred = clamp_output(loaded.inference(lo, prev, fl))
                     prev = pred
-                mask = gt[..., 0:1] * 0.5 + 0.5
-                acc[0] += float(psnr(pred[..., 0:1], gt[..., 0:1])[0])
-                acc[1] += float(psnr(pred[..., 1:4], gt[..., 1:4],
+                # reference protocol (mainPSNR1.py:166-173): PSNR of the
+                # screen-space-shaded prediction vs shaded ground truth
+                sp = screen_space_shading(pred, shading_cfg)
+                sg = screen_space_shading(gt, shading_cfg)
+                acc[0] += float(psnr(sp, sg)[0])
+                acc[1] += float(psnr(sp[:, B:-B, B:-B],
+                                     sg[:, B:-B, B:-B])[0])
+                p_c = pred[:, B:-B, B:-B]
+                g_c = gt[:, B:-B, B:-B]
+                mask = g_c[..., 0:1] * 0.5 + 0.5
+                acc[2] += float(psnr(p_c[..., 0:1], g_c[..., 0:1])[0])
+                acc[3] += float(psnr(p_c[..., 1:4], g_c[..., 1:4],
                                      mask=mask)[0])
-                acc[2] += float(psnr(pred[..., 4:5], gt[..., 4:5],
+                acc[4] += float(psnr(p_c[..., 4:5], g_c[..., 4:5],
                                      mask=mask)[0])
-                acc[3] += float(psnr(pred[..., 5:6], gt[..., 5:6],
+                acc[5] += float(psnr(p_c[..., 5:6], g_c[..., 5:6],
                                      mask=mask)[0])
                 count += 1
         acc /= max(count, 1)
         name = (spec if loaded is None
                 else os.path.basename(spec.rstrip("/")))
         print(f"{name:24s} {acc[0]:7.2f} {acc[1]:7.2f} {acc[2]:7.2f} "
-              f"{acc[3]:7.2f}")
+              f"{acc[3]:7.2f} {acc[4]:7.2f} {acc[5]:7.2f}", flush=True)
 
 
 if __name__ == "__main__":

@@ -169,12 +169,16 @@ class EnhanceNet(nn.Module):
                                 name=f"up{si + 1}")(y)
                 y = nn.relu(conv(cfg.num_features, f"post{si + 1}")(y))
         y = nn.relu(conv(cfg.num_features, f"post{stages + 1}")(y))
-        # small-variance output-conv init: with residual reconstruction the
-        # network starts NEAR the bilinear upsampler (an improvement over
-        # the reference's O(1) conv noise) while keeping healthy upstream
-        # gradients.  (An exact zero init was tried and is a trap: tiny
-        # out-kernel => tiny upstream gradients => features never train and
-        # the readout shrinks back to the identity; verified empirically.)
+        # Output-conv init: standard lecun scale, like the reference's
+        # default conv init (`enhancenet.py` leaves the out conv at
+        # PyTorch's kaiming-uniform).  Two traps were measured on the way
+        # here: an exact ZERO init kills upstream gradients permanently
+        # (the readout shrinks back to the identity), and a small-variance
+        # (0.01) init starves the trunk - its gradients scale with the
+        # out-kernel norm, measured 1000x smaller than the readout's, so
+        # the network froze at the residual identity after ~2 epochs.
+        # O(1) init costs a noisy first epoch (the residual reconstruction
+        # still centers the output at the bilinear baseline) but trains.
         # Extra channels beyond the residual mask (the AO channel in the
         # unshaded config) get bias 1: the no-occlusion default.
         n_extra = cfg.output_channels - len(cfg.channel_mask)
@@ -186,8 +190,6 @@ class EnhanceNet(nn.Module):
             return b
 
         outputs = nn.Conv(cfg.output_channels, (3, 3), padding=1, dtype=dtype,
-                          kernel_init=nn.initializers.variance_scaling(
-                              0.01, "fan_in", "truncated_normal"),
                           bias_init=out_bias_init,
                           name="out")(y).astype(jnp.float32)
 

@@ -81,10 +81,10 @@ def test_minimum_slice_renderer_to_training():
 
     assert np.isfinite(epoch_losses).all()
     assert epoch_losses[-1] < epoch_losses[0] * 1.02, epoch_losses
-    # training on rendered data must not degrade held-out shaded-color PSNR
-    assert psnr_end >= psnr_start - 0.1, (psnr_start, psnr_end)
-    # zero-init output conv => the net starts at the bilinear baseline
-    # (~23 dB on this volume) and must stay in that quality class after a
-    # short training run
+    # O(1)-init output conv (reference parity): the net STARTS noisy (the
+    # residual reconstruction centers it at bilinear + conv noise) and a
+    # short training run must pull it into the bilinear quality class -
+    # the healthy-gradient counterpart of the zero/small-variance init
+    # traps documented in models/generators.py
     assert psnr_end > 20.0, psnr_end
-    assert psnr_start > 20.0, psnr_start
+    assert psnr_end > psnr_start + 1.0, (psnr_start, psnr_end)
