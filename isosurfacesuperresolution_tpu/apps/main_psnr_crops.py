@@ -56,44 +56,47 @@ def main(argv=None):
 
     print(f"{'model':24s} {'color':>7s} {'col-i':>7s} {'mask':>7s} "
           f"{'normal':>7s} {'depth':>7s} {'ao':>7s}")
+    def metrics_frame(pred, gt):
+        """(B, H, W, 6) -> (B, 6) metric vector; stays on device."""
+        sp = screen_space_shading(pred, shading_cfg)
+        sg = screen_space_shading(gt, shading_cfg)
+        p_c = pred[:, B:-B, B:-B]
+        g_c = gt[:, B:-B, B:-B]
+        mask = g_c[..., 0:1] * 0.5 + 0.5
+        return jnp.stack([
+            psnr(sp, sg),
+            psnr(sp[:, B:-B, B:-B], sg[:, B:-B, B:-B]),
+            psnr(p_c[..., 0:1], g_c[..., 0:1]),
+            psnr(p_c[..., 1:4], g_c[..., 1:4], mask=mask),
+            psnr(p_c[..., 4:5], g_c[..., 4:5], mask=mask),
+            psnr(p_c[..., 5:6], g_c[..., 5:6], mask=mask),
+        ], axis=-1)
+
+    # batch all test crops: one device fetch per model instead of 4 fetches
+    # per crop-frame (the tunneled transport makes round trips expensive)
+    lows, flows, highs = zip(*[test[i] for i in range(len(test))])
+    low_all = jnp.asarray(np.stack(lows))        # (N, T, h, w, 5)
+    flow_all = jnp.asarray(np.stack(flows))
+    high_all = jnp.asarray(np.stack(highs))
+    N, T = low_all.shape[0], low_all.shape[1]
+
     for spec in args.models:
         loaded = (None if spec in ("nearest", "bilinear", "bicubic")
                   else LoadedModel.from_run_dir(spec))
-        acc = np.zeros(6)
-        count = 0
-        for i in range(len(test)):
-            low, flow, high = test[i]
-            prev = None
-            for t in range(low.shape[0]):
-                lo = jnp.asarray(low[t:t + 1])
-                gt = jnp.asarray(high[t:t + 1])
-                if loaded is None:
-                    up = resize(lo, scale=4.0, method=spec)
-                    pred = jnp.concatenate(
-                        [up, jnp.ones_like(up[..., :1])], -1)
-                else:
-                    fl = jnp.asarray(flow[t:t + 1])
-                    pred = clamp_output(loaded.inference(lo, prev, fl))
-                    prev = pred
-                # reference protocol (mainPSNR1.py:166-173): PSNR of the
-                # screen-space-shaded prediction vs shaded ground truth
-                sp = screen_space_shading(pred, shading_cfg)
-                sg = screen_space_shading(gt, shading_cfg)
-                acc[0] += float(psnr(sp, sg)[0])
-                acc[1] += float(psnr(sp[:, B:-B, B:-B],
-                                     sg[:, B:-B, B:-B])[0])
-                p_c = pred[:, B:-B, B:-B]
-                g_c = gt[:, B:-B, B:-B]
-                mask = g_c[..., 0:1] * 0.5 + 0.5
-                acc[2] += float(psnr(p_c[..., 0:1], g_c[..., 0:1])[0])
-                acc[3] += float(psnr(p_c[..., 1:4], g_c[..., 1:4],
-                                     mask=mask)[0])
-                acc[4] += float(psnr(p_c[..., 4:5], g_c[..., 4:5],
-                                     mask=mask)[0])
-                acc[5] += float(psnr(p_c[..., 5:6], g_c[..., 5:6],
-                                     mask=mask)[0])
-                count += 1
-        acc /= max(count, 1)
+        acc = jnp.zeros(6)
+        prev = None
+        for t in range(T):
+            lo = low_all[:, t]
+            gt = high_all[:, t]
+            if loaded is None:
+                up = resize(lo, scale=4.0, method=spec)
+                pred = jnp.concatenate([up, jnp.ones_like(up[..., :1])], -1)
+            else:
+                pred = clamp_output(
+                    loaded.inference(lo, prev, flow_all[:, t]))
+                prev = pred
+            acc = acc + jnp.sum(metrics_frame(pred, gt), axis=0)
+        acc = np.asarray(acc) / (N * T)
         name = (spec if loaded is None
                 else os.path.basename(spec.rstrip("/")))
         print(f"{name:24s} {acc[0]:7.2f} {acc[1]:7.2f} {acc[2]:7.2f} "

@@ -129,3 +129,31 @@ def test_frame_timer_and_timed_chain():
 
     dt = timed_chain(lambda c: c * 0.999 + 0.001, jnp.ones((64, 64)), n=4)
     assert dt > 0
+
+
+def test_main_psnr_crops_batched(tmp_path):
+    """Crop-PSNR harness (mainPSNR1 parity: shaded-color protocol) runs on
+    a generated clip dir and reports bilinear > 10 dB."""
+    import numpy as np
+    from isosurfacesuperresolution_tpu.config import RenderConfig
+    from isosurfacesuperresolution_tpu.data.generation import (
+        SequenceConfig, generate_sequences)
+    from isosurfacesuperresolution_tpu.volume import analytic
+
+    seq_cfg = SequenceConfig(num_frames=3, high_res=96, ao_samples=0)
+    generate_sequences([(analytic.sphere_volume(32), (0.5, 0.5))], 2,
+                       seq_cfg, base_render_cfg=RenderConfig(
+                           step_voxels=0.5),
+                       seed=0, out_dir=str(tmp_path))
+    import contextlib, io
+    from isosurfacesuperresolution_tpu.apps.main_psnr_crops import main
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        main(["--dataset", str(tmp_path), "--models", "bilinear",
+              "--samples", "16", "--cropSize", "16", "--testFraction",
+              "0.5"])
+    out = buf.getvalue()
+    assert "bilinear" in out
+    row = [l for l in out.splitlines() if l.startswith("bilinear")][0]
+    vals = [float(x) for x in row.split()[1:]]
+    assert len(vals) == 6 and all(np.isfinite(vals)) and vals[0] > 10
