@@ -87,6 +87,10 @@ def build_parser() -> argparse.ArgumentParser:
     # parallel
     p.add_argument("--dataParallel", type=int, default=1,
                    help="devices on the batch axis (mesh size)")
+    p.add_argument("--dataDtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="storage dtype of the device-resident dataset; "
+                        "bfloat16 halves its HBM footprint")
     p.add_argument("--hostData", action="store_true",
                    help="force host-side batching (default: device-resident"
                         " dataset when it fits)")
@@ -281,10 +285,12 @@ def main(argv=None) -> None:
     device_data = None
     if (not t.augment and cfg.parallel.data_parallel <= 1
             and not args.hostData):
+        import jax.numpy as jnp
         from isosurfacesuperresolution_tpu.train.device_data import (
             DeviceVideoDataset)
         dd = DeviceVideoDataset(sequences,
-                                upscale_factor=cfg.model.upscale_factor)
+                                upscale_factor=cfg.model.upscale_factor,
+                                store_dtype=jnp.dtype(args.dataDtype))
         if dd.nbytes() < 6 * 1024 ** 3:
             device_data = dd
             print(f"device-resident dataset: "

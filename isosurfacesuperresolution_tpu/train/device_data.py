@@ -29,10 +29,19 @@ class DeviceVideoDataset:
     augmented training falls back to host batching).
     """
 
-    def __init__(self, sequences, upscale_factor: int = 4):
-        self.low = jnp.asarray(np.stack([s["low"] for s in sequences]))
-        self.high = jnp.asarray(np.stack([s["high"] for s in sequences]))
-        self.flow = jnp.asarray(np.stack([s["flow"] for s in sequences]))
+    def __init__(self, sequences, upscale_factor: int = 4,
+                 store_dtype=jnp.float32):
+        """``store_dtype=jnp.bfloat16`` halves the HBM footprint of the
+        resident dataset (crops are cast back to f32 at slice time);
+        quantizes G-buffer values by ~3e-3 relative - below the renderer's
+        half-voxel refinement error, but off by default so loss targets
+        stay bit-exact."""
+        self.low = jnp.asarray(np.stack([s["low"] for s in sequences]),
+                               store_dtype)
+        self.high = jnp.asarray(np.stack([s["high"] for s in sequences]),
+                                store_dtype)
+        self.flow = jnp.asarray(np.stack([s["flow"] for s in sequences]),
+                                store_dtype)
         self.upscale = upscale_factor
         self.num_sequences = self.low.shape[0]
 
@@ -75,6 +84,7 @@ def _gather_crops(low, high, flow, idx, ys, xs, crop, upscale):
         hi = jax.lax.dynamic_slice(
             high, (i, 0, y * upscale, x * upscale, 0),
             (1, T, crop * upscale, crop * upscale, high.shape[-1]))[0]
-        return lo, fl, hi
+        return (lo.astype(jnp.float32), fl.astype(jnp.float32),
+                hi.astype(jnp.float32))
 
     return jax.vmap(one)(idx, ys, xs)
