@@ -60,6 +60,10 @@ def build_parser():
                    help="also re-render 1/N resolution (0 = off)")
     p.add_argument("--renderer", type=str, default="sweep")
     p.add_argument("--saveGbuffer", action="store_true")
+    p.add_argument("--saveExr", action="store_true",
+                   help="also write the frame as reference-layout EXRs "
+                        "(rgba + _depth + _fx files, built-in codec; "
+                        "parity: GPURenderer.cpp:728-773)")
     p.add_argument("-m", "--mode", type=str, default="iso",
                    choices=["iso", "volume"],
                    help="iso = G-buffer isosurface rendering; volume = "
@@ -151,6 +155,22 @@ def main(argv=None):
                 frame, samples=args.aosamples, radius_px=max(
                     4, int(args.aoradius * w))))
         suffix = f"_{i:05d}" if args.animation else ""
+        if args.saveExr:
+            from isosurfacesuperresolution_tpu.data.exr import write_exr
+            base = os.path.join(args.output, f"{vol_name}{suffix}")
+            write_exr(base + ".exr",
+                      {"R": frame[..., 0], "G": frame[..., 1],
+                       "B": frame[..., 2], "A": frame[..., 3]})
+            write_exr(base + "_depth.exr",
+                      {"R": frame[..., 4], "G": frame[..., 5],
+                       "B": frame[..., 6], "A": frame[..., 7]})
+            write_exr(base + "_fx.exr",
+                      {"R": frame[..., 10], "G": frame[..., 11],
+                       "B": np.zeros_like(frame[..., 0]),
+                       "A": np.ones_like(frame[..., 0])})
+            write_exr(base + "_flow.exr",
+                      {"R": frame[..., 8], "G": frame[..., 9],
+                       "B": np.zeros_like(frame[..., 0])})
         rgb = np.clip(frame[..., :3] * frame[..., 10:11], 0, 1)
         imageio.imwrite(os.path.join(args.output,
                                      f"{vol_name}{suffix}.png"),

@@ -204,15 +204,26 @@ def load_reference_npy_dir(path: str) -> List[Dict[str, np.ndarray]]:
     return sequences
 
 
+def _rgba_first(chans: "Dict[str, np.ndarray]") -> np.ndarray:
+    """Stack named channels with R,G,B,A leading (the order the legacy
+    loaders index by: channel 3 is the alpha/mask), extras sorted after."""
+    order = [c for c in ("R", "G", "B", "A") if c in chans]
+    order += sorted(c for c in chans if c not in ("R", "G", "B", "A"))
+    return np.stack([chans[c] for c in order], -1)
+
+
 def _read_exr(path: str) -> np.ndarray:
-    """Read an EXR image as float32 (H, W, C); raises with guidance when no
-    EXR codec is available in the environment."""
+    """Read an EXR image as float32 (H, W, C), channels R,G,B,A-first.
+
+    Tries the built-in scanline codec (`data/exr.py`: float/half,
+    none/zip - everything the reference writes) first, then the OpenEXR
+    bindings (for exotic compressions), then OpenCV."""
+    from isosurfacesuperresolution_tpu.data.exr import read_exr as _builtin
     try:
-        import OpenEXR  # noqa: F401
-        import Imath    # noqa: F401
-    except ImportError:
-        pass
-    else:
+        return _rgba_first(_builtin(path))
+    except ValueError:
+        pass                     # unsupported flavour: try the libraries
+    try:
         import OpenEXR
         import Imath
         f = OpenEXR.InputFile(path)
@@ -220,24 +231,28 @@ def _read_exr(path: str) -> np.ndarray:
         w = dw.max.x - dw.min.x + 1
         h = dw.max.y - dw.min.y + 1
         pt = Imath.PixelType(Imath.PixelType.FLOAT)
-        chans = sorted(f.header()["channels"].keys())
-        data = [np.frombuffer(f.channel(c, pt), np.float32).reshape(h, w)
-                for c in chans]
-        return np.stack(data, -1)
+        names = list(f.header()["channels"].keys())
+        return _rgba_first({
+            c: np.frombuffer(f.channel(c, pt), np.float32).reshape(h, w)
+            for c in names})
+    except ImportError:
+        pass
     try:
         import os as _os
         _os.environ.setdefault("OPENCV_IO_ENABLE_OPENEXR", "1")
         import cv2
         img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
         if img is not None:
-            return np.asarray(img, np.float32)
+            img = np.asarray(img, np.float32)
+            if img.ndim == 3 and img.shape[2] >= 3:
+                img[..., :3] = img[..., 2::-1]       # cv2 loads BGR(A)
+            return img
     except Exception:
         pass
     raise RuntimeError(
-        "no EXR codec available (neither OpenEXR bindings nor an OpenCV "
-        "build with EXR support); convert reference EXR datasets to the "
-        "npy clip layout with the reference's DataGenerator/convertToNumpy "
-        "or use this framework's npy/cvol formats")
+        f"could not decode {path}: the built-in codec handles scanline "
+        "float/half EXRs with none/zip compression; for other flavours "
+        "install the OpenEXR bindings or convert to the npy clip layout")
 
 
 def load_legacy_exr_dir(path: str, num_frames: int = 10,

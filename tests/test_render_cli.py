@@ -106,3 +106,16 @@ def test_render_cli_volume_custom_tf(tmp_path):
     op = img[..., 3] > 60
     assert op.any()
     assert img[..., 2][op].mean() > img[..., 0][op].mean()
+
+
+def test_render_cli_save_exr(tmp_path):
+    from isosurfacesuperresolution_tpu.apps.render_cli import main
+    from isosurfacesuperresolution_tpu.data.exr import read_exr
+    out = tmp_path / "exr"
+    main(["--volume", "analytic:sphere", "--res", "24,24",
+          "--saveExr", "--output", str(out)])
+    files = sorted(p.name for p in out.glob("*.exr"))
+    assert files == ["sphere.exr", "sphere_depth.exr", "sphere_flow.exr",
+                     "sphere_fx.exr"]
+    rgba = read_exr(str(out / "sphere.exr"))
+    assert rgba["A"].max() == 1.0          # mask present
