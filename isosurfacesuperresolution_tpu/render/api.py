@@ -30,7 +30,9 @@ def render_frame_gbuffer(grid: BrickGrid, cam: CameraParams,
     knobs (isovalue, material, light): pass it to change them at runtime
     without recompiling (pipe-protocol/GUI-slider/data-generation parity,
     `GPURendererDirect.cpp:395-428`); None freezes the config values."""
-    if cfg.renderer == "sweep":
+    if cfg.renderer in ("sweep", "sweep_pallas"):
+        # "sweep_pallas" = same geometry with the Pallas march kernel
+        # (render/sweep_pallas.py) for the slice scan
         return render_gbuffer_sweep(grid, cam, cam_flow, cfg, rp)
     if cfg.renderer == "march":
         return render_gbuffer(grid, cam, cam_flow, cfg, rp)

@@ -199,12 +199,30 @@ def _sweep_permuted(values: jnp.ndarray,      # (X, Y, Z) permuted volume
     # carry buffers cross the scan boundary K times; unrolling keeps them
     # in registers/VMEM between unrolled steps, dividing the HBM carry
     # traffic (the sweep's dominant cost) by the unroll factor
-    init = (zero - 1.0, zero, zero, zero, zero, zero)
-    if use_volume_ao:
-        init = init + (zero4,)
-    res, _ = jax.lax.scan(body, init, jnp.arange(K), unroll=8)
-    (m_hit, frac, _, g_s, g_t, g_z) = res[:6]
-    sh_hit = res[6] if use_volume_ao else zero4
+    if cfg.renderer == "sweep_pallas" and not use_volume_ao:
+        # same march as the scan below, but as one Pallas kernel with the
+        # hit state resident in VMEM (render/sweep_pallas.py)
+        from isosurfacesuperresolution_tpu.render.sweep_pallas import (
+            march_pallas)
+        ms = jnp.arange(K, dtype=jnp.float32)
+        zcs, lams, zfs, fzs, smaxs, valids = jax.vmap(slice_meta)(ms)
+        flags = (valids & (smaxs >= iso)).astype(jnp.float32)
+        meta = jnp.stack(
+            [zcs, lams, zfs.astype(jnp.float32), fzs, flags,
+             jnp.full_like(zcs, iso),
+             jnp.full_like(zcs, eye_p[0]),
+             jnp.full_like(zcs, eye_p[1])], axis=1)
+        vol_zxy = jnp.transpose(values, (2, 0, 1))
+        m_hit, frac, g_s, g_t, g_z = march_pallas(
+            vol_zxy, meta, s_grid, t_grid, Sn, Tn)
+        sh_hit = zero4
+    else:
+        init = (zero - 1.0, zero, zero, zero, zero, zero)
+        if use_volume_ao:
+            init = init + (zero4,)
+        res, _ = jax.lax.scan(body, init, jnp.arange(K), unroll=8)
+        (m_hit, frac, _, g_s, g_t, g_z) = res[:6]
+        sh_hit = res[6] if use_volume_ao else zero4
     found = m_hit >= 0.0
 
     # continuous hit position in permuted voxel coords

@@ -1,0 +1,168 @@
+"""Pallas sweep march: the slice scan with VMEM-resident hit state.
+
+The XLA sweep (`render/sweep.py`) carries six image-sized hit-state
+buffers through a 512-step `lax.scan`; even unrolled, the carry crosses
+HBM and the per-slice resample matmuls launch individually (~6.7 ms
+in-context for the 480x270 frame).  This kernel runs the whole march as
+ONE `pallas_call` with a sequential grid over slice planes:
+
+  * hit state (m_hit, frac, Fm1, g_s, g_t, g_z) lives in VMEM scratch for
+    the entire march - zero HBM traffic for the carry;
+  * each grid step DMAs one (X, Y) volume slice (bf16, ~128 KB); slices
+    are stored slice-major (Z, X, Y) so the copy is a contiguous band;
+  * the interpolation matrices are built in-register from iota each step;
+  * per-slice metadata (z centers, lerp offsets, culling max, validity)
+    is precomputed outside and indexed by `program_id`;
+  * empty slices (`smax < iso`) skip the DMA wait, resample and update
+    entirely (`pl.when` - the GVDB node-culling analogue).
+
+Geometry, refinement and gradient capture are bit-compatible with
+`sweep._sweep_permuted` (same formulas); the final shading/homography
+stay in XLA.  Used when ``RenderConfig.renderer == "sweep_pallas"``;
+parity bounded by tests/test_sweep_pallas.py in interpret mode.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _march_kernel(meta_ref,            # SMEM (K, 8) f32 per-slice metadata
+                  vol_hbm,             # ANY  (Z, X, Y) bf16 slice-major
+                  sg_ref, tg_ref,      # VMEM (Sn,) / (Tn,) grids (2-d rows)
+                  mhit_ref, frac_ref, fm1_ref, gs_ref, gt_ref, gz_ref,
+                  s0, s1, sems,
+                  *, Sn: int, Tn: int, X: int, Y: int):
+    k = pl.program_id(0)
+    K = pl.num_programs(0)
+
+    # metadata layout: 0 zc, 1 lam, 2 zf, 3 fz, 4 do-flag (valid and
+    # smax >= iso), 5 iso, 6 eye_s, 7 eye_t
+    do = meta_ref[k, 4] > 0.5
+    lam = meta_ref[k, 1]
+    fz = meta_ref[k, 3]
+    iso = meta_ref[k, 5]
+    eye_s = meta_ref[k, 6]
+    eye_t = meta_ref[k, 7]
+
+    @pl.when(k == 0)
+    def _():
+        mhit_ref[:] = jnp.full((Sn, Tn), -1.0, jnp.float32)
+        frac_ref[:] = jnp.zeros((Sn, Tn), jnp.float32)
+        fm1_ref[:] = jnp.zeros((Sn, Tn), jnp.float32)
+        gs_ref[:] = jnp.zeros((Sn, Tn), jnp.float32)
+        gt_ref[:] = jnp.zeros((Sn, Tn), jnp.float32)
+        gz_ref[:] = jnp.zeros((Sn, Tn), jnp.float32)
+
+    # double-buffered DMA of the two z-lerp slices as one (2, X, Y) band;
+    # started for slice k at step k-1 (and at k for k == 0)
+    def dma_for(step, slot_idx):
+        zfi = meta_ref[step, 2].astype(jnp.int32)
+        return pltpu.make_async_copy(
+            vol_hbm.at[pl.ds(zfi, 2)], (s0, s1)[slot_idx],
+            sems.at[slot_idx])
+
+    @pl.when(k == 0)
+    def _():
+        dma_for(0, 0).start()
+
+    for parity in (0, 1):
+        @pl.when((k + 1 < K) & ((k + 1) % 2 == parity))
+        def _(parity=parity):
+            dma_for(k + 1, parity).start()
+
+    for parity in (0, 1):
+        @pl.when(k % 2 == parity)
+        def _(parity=parity):
+            dma_for(k, parity).wait()
+
+    def update(slot):
+        sl = ((1.0 - fz) * slot[0].astype(jnp.float32)
+              + fz * slot[1].astype(jnp.float32))          # (X, Y)
+        # 2-tap interpolation weights built in-register
+        s_pos = eye_s + lam * (sg_ref[0, :] - eye_s)        # (Sn,)
+        t_pos = eye_t + lam * (tg_ref[0, :] - eye_t)        # (Tn,)
+        jx = jax.lax.broadcasted_iota(jnp.int32, (Sn, X), 1
+                                      ).astype(jnp.float32) + 0.5
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(s_pos[:, None] - jx))
+        jy = jax.lax.broadcasted_iota(jnp.int32, (Tn, Y), 1
+                                      ).astype(jnp.float32) + 0.5
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(t_pos[:, None] - jy))
+        tmp = jnp.dot(wx.astype(jnp.bfloat16), sl.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
+        F = jnp.dot(tmp.astype(jnp.bfloat16),
+                    wy.T.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)     # (Sn, Tn)
+
+        Fm1 = fm1_ref[:]
+        found = mhit_ref[:] >= 0.0
+        crossing = (~found) & (F >= iso)
+        denom = jnp.where(jnp.abs(F - Fm1) > 1e-12, F - Fm1, 1e-12)
+        new_frac = jnp.clip((iso - Fm1) / denom, 0.0, 1.0)
+        mhit_ref[:] = jnp.where(crossing, jnp.float32(k), mhit_ref[:])
+        frac_ref[:] = jnp.where(crossing, new_frac, frac_ref[:])
+
+        def dcen(A, axis):
+            return 0.5 * (pltpu.roll(A, Sn - 1 if axis == 0 else Tn - 1,
+                                     axis)
+                          - pltpu.roll(A, 1, axis))
+
+        gs_ref[:] = jnp.where(crossing, dcen(Fm1, 0), gs_ref[:])
+        gt_ref[:] = jnp.where(crossing, dcen(Fm1, 1), gt_ref[:])
+        gz_ref[:] = jnp.where(crossing, F - Fm1, gz_ref[:])
+        fm1_ref[:] = F
+
+    @pl.when(do)
+    def _():
+        jax.lax.cond(k % 2 == 0, lambda: update(s0), lambda: update(s1))
+
+    @pl.when(~do)
+    def _():
+        fm1_ref[:] = jnp.zeros((Sn, Tn), jnp.float32)
+
+
+def march_pallas(vol_zxy: jnp.ndarray,        # (Z, X, Y) slice-major
+                 meta: jnp.ndarray,           # (K, 8) f32
+                 s_grid: jnp.ndarray, t_grid: jnp.ndarray,
+                 Sn: int, Tn: int,
+                 interpret: "bool | None" = None):
+    """Run the march; returns (m_hit, frac, g_s, g_t, g_z) (Sn, Tn) f32.
+
+    Called from inside the jitted sweep; ``interpret`` defaults to True on
+    the CPU backend so the whole renderer stays testable there."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    Z, X, Y = vol_zxy.shape
+    K = meta.shape[0]
+    outs = pl.pallas_call(
+        functools.partial(_march_kernel, Sn=Sn, Tn=Tn, X=X, Y=Y),
+        grid=(K,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, Sn), lambda k: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Tn), lambda k: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec((Sn, Tn), lambda k: (0, 0),
+                                memory_space=pltpu.VMEM)] * 6,
+        out_shape=[jax.ShapeDtypeStruct((Sn, Tn), jnp.float32)] * 6,
+        scratch_shapes=[
+            pltpu.VMEM((2, X, Y), jnp.bfloat16),
+            pltpu.VMEM((2, X, Y), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(meta, vol_zxy.astype(jnp.bfloat16), s_grid[None], t_grid[None])
+    m_hit, frac, _, g_s, g_t, g_z = outs
+    return m_hit, frac, g_s, g_t, g_z
