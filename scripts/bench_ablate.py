@@ -33,7 +33,7 @@ def main():
     print(f"devices: {jax.devices()}", file=sys.stderr)
     cfg = Config(model=ModelConfig(compute_dtype="bfloat16"))
     render_cfg = RenderConfig(width=480, height=270, isovalue=0.5,
-                              ao_samples=0, renderer="sweep",
+                              ao_samples=0, renderer="sweep_pallas",
                               sweep_oversample=1.25)
     m = cfg.model
     model = create_network(m)
