@@ -35,7 +35,8 @@ class Viewer:
 
     def __init__(self, grid, models: Dict[str, "LoadedModel"],
                  res_x: int = 320, res_y: int = 240, upscale: int = 4,
-                 isovalue: float = 0.5, step_voxels: float = 0.5):
+                 isovalue: float = 0.5, step_voxels: float = 0.5,
+                 renderer: str = "sweep"):
         import jax
 
         from isosurfacesuperresolution_tpu.config import (
@@ -48,7 +49,8 @@ class Viewer:
         self.camera = OrbitCamera(res_x, res_y)
         self.render_cfg = RenderConfig(width=res_x, height=res_y,
                                        isovalue=isovalue,
-                                       step_voxels=step_voxels, ao_samples=0)
+                                       step_voxels=step_voxels,
+                                       ao_samples=0, renderer=renderer)
         self.shading_cfg = ShadingConfig(
             ambient_color=(0.1, 0.1, 0.1), diffuse_color=(1.0, 1.0, 1.0),
             specular_color=(0.0, 0.0, 0.0), enable_specular=True,
@@ -306,6 +308,9 @@ def build_parser():
     p.add_argument("--resX", type=int, default=320)
     p.add_argument("--resY", type=int, default=240)
     p.add_argument("--isovalue", type=float, default=0.5)
+    p.add_argument("--renderer", type=str, default="sweep",
+                   choices=["sweep", "sweep_pallas", "march"],
+                   help="sweep_pallas = Pallas march (fastest on TPU)")
     p.add_argument("--tk", action="store_true", help="interactive Tk UI")
     p.add_argument("--frames", type=int, default=0,
                    help="headless: render an N-frame orbit to PNGs")
@@ -322,7 +327,7 @@ def main(argv=None):
     models = {os.path.basename(m.rstrip("/")): LoadedModel.from_run_dir(m)
               for m in args.models}
     viewer = Viewer(grid, models, res_x=args.resX, res_y=args.resY,
-                    isovalue=args.isovalue)
+                    isovalue=args.isovalue, renderer=args.renderer)
     viewer.input_name = vol_name
     if not models:
         viewer.set_mode("bilinear")
