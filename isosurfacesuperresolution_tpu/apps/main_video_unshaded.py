@@ -63,8 +63,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--losses", type=str,
                    default="l1:mask:1,l1:ao:1,l1:normal:10,l1:depth:10,"
                            "temp-l2:color:0.1")
+    # defaults found with VGGAnalysis (reference: mainVideoUnshaded.py:75-78)
     p.add_argument("--perceptualLossLayers", type=str,
-                   default="conv_4:1,conv_12:1")
+                   default="conv_1:0.026423,conv_2:0.009285,conv_3:0.006710,"
+                           "conv_4:0.004898,conv_5:0.003910,conv_6:0.003956,"
+                           "conv_7:0.003813,conv_8:0.002968,conv_9:0.002997,"
+                           "conv_10:0.003631,conv_11:0.004147,"
+                           "conv_12:0.005765,conv_13:0.007442,"
+                           "conv_14:0.009666,conv_15:0.012586,"
+                           "conv_16:0.013377")
     p.add_argument("--textureLossLayers", type=str,
                    default="conv_1:1,conv_3:1,conv_5:1")
     p.add_argument("--discriminator", type=str, default="enhanceNetLarge")

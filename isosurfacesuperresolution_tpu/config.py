@@ -217,7 +217,14 @@ class LossConfig:
 
     losses: str = "l1:mask:1,l1:ao:1,l1:normal:10,l1:depth:10,temp-l2:color:0.1"
     # VGG layer weights; defaults derived by VGGAnalysis.py in the reference
-    perceptual_loss_layers: str = "conv_4:1,conv_12:1"
+    # reference defaults derived with VGGAnalysis.py
+    # (mainVideoUnshaded.py:75-78): per-layer inverse-response weights over
+    # all 16 convs of the trimmed VGG-19
+    perceptual_loss_layers: str = (
+        "conv_1:0.026423,conv_2:0.009285,conv_3:0.006710,conv_4:0.004898,"
+        "conv_5:0.003910,conv_6:0.003956,conv_7:0.003813,conv_8:0.002968,"
+        "conv_9:0.002997,conv_10:0.003631,conv_11:0.004147,conv_12:0.005765,"
+        "conv_13:0.007442,conv_14:0.009666,conv_15:0.012586,conv_16:0.013377")
     texture_loss_layers: str = "conv_1:1,conv_3:1,conv_5:1"
     discriminator: str = "enhanceNetLarge"
     # shading constants used inside the loss (lossnet_unshaded.py:116-126)

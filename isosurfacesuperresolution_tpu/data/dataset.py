@@ -15,6 +15,8 @@ never leaves the accelerator in the first place.
 from __future__ import annotations
 
 import os
+import struct
+import zlib
 from dataclasses import dataclass
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
@@ -221,8 +223,8 @@ def _read_exr(path: str) -> np.ndarray:
     from isosurfacesuperresolution_tpu.data.exr import read_exr as _builtin
     try:
         return _rgba_first(_builtin(path))
-    except ValueError:
-        pass                     # unsupported flavour: try the libraries
+    except (ValueError, KeyError, IndexError, struct.error, zlib.error):
+        pass       # unsupported flavour or corrupt file: try the libraries
     try:
         import OpenEXR
         import Imath

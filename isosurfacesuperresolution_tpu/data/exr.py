@@ -161,6 +161,10 @@ def read_exr(path: str) -> Dict[str, np.ndarray]:
     version, = struct.unpack_from("<i", buf, 4)
     if version & 0x200:
         raise ValueError(f"{path}: tiled EXR not supported")
+    if version & 0x1800:
+        # 0x1000 multi-part / 0x800 deep data: headers are laid out
+        # differently; parsing would silently misread chunk offsets
+        raise ValueError(f"{path}: multi-part/deep EXR not supported")
     attrs, pos = _read_attr_stream(buf, 8)
 
     typ, ch_raw = attrs["channels"]

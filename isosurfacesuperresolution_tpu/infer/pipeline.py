@@ -171,6 +171,8 @@ class InferencePipeline:
     render_params: Any = None      # traced RenderParams (isovalue, ...)
 
     def __post_init__(self):
+        self._use_planar = resolve_planar(self.cfg, self.upscale_mode,
+                                          "auto")
         self._frame = make_fused_frame(self.model, self.cfg, self.render_cfg,
                                        self.upscale_mode,
                                        shading_cfg=self.shading_cfg)
@@ -202,6 +204,6 @@ class InferencePipeline:
         rgb, _, self._state = self._frame(self.params, grid, cam, cam_prev,
                                           self._state, rp)
         self._last_cam = cam
-        if rgb.ndim == 3 and rgb.shape[0] == 3:    # planar planes -> HWC
-            rgb = np.moveaxis(np.asarray(rgb), 0, -1)
+        if self._use_planar:       # planar path emits (3, Hh, Wh) planes
+            rgb = jnp.moveaxis(rgb, 0, -1)
         return rgb

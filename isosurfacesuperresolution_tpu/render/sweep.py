@@ -214,7 +214,7 @@ def _sweep_permuted(values: jnp.ndarray,      # (X, Y, Z) permuted volume
              jnp.full_like(zcs, eye_p[1])], axis=1)
         vol_zxy = jnp.transpose(values, (2, 0, 1))
         m_hit, frac, g_s, g_t, g_z = march_pallas(
-            vol_zxy, meta, s_grid, t_grid, Sn, Tn)
+            vol_zxy, meta, s_grid, t_grid, Sn, Tn, dtype=mm_dtype)
         sh_hit = zero4
     else:
         init = (zero - 1.0, zero, zero, zero, zero, zero)

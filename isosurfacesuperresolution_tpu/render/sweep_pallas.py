@@ -13,8 +13,10 @@ ONE `pallas_call` with a sequential grid over slice planes:
   * the interpolation matrices are built in-register from iota each step;
   * per-slice metadata (z centers, lerp offsets, culling max, validity)
     is precomputed outside and indexed by `program_id`;
-  * empty slices (`smax < iso`) skip the DMA wait, resample and update
-    entirely (`pl.when` - the GVDB node-culling analogue).
+  * empty slices (`smax < iso`) skip the resample matmuls and the hit
+    update (`pl.when` - the GVDB node-culling analogue); the slice DMA
+    itself still runs every step to keep the double-buffer/semaphore
+    bookkeeping uniform, so culling saves compute, not bandwidth.
 
 Geometry, refinement and gradient capture are bit-compatible with
 `sweep._sweep_permuted` (same formulas); the final shading/homography
@@ -37,11 +39,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _march_kernel(meta_ref,            # SMEM (K, 8) f32 per-slice metadata
-                  vol_hbm,             # ANY  (Z, X, Y) bf16 slice-major
+                  vol_hbm,             # ANY  (Z, X, Y) slice-major volume
                   sg_ref, tg_ref,      # VMEM (Sn,) / (Tn,) grids (2-d rows)
                   mhit_ref, frac_ref, fm1_ref, gs_ref, gt_ref, gz_ref,
                   s0, s1, sems,
-                  *, Sn: int, Tn: int, X: int, Y: int):
+                  *, Sn: int, Tn: int, X: int, Y: int, mm_dtype):
     k = pl.program_id(0)
     K = pl.num_programs(0)
 
@@ -97,10 +99,10 @@ def _march_kernel(meta_ref,            # SMEM (K, 8) f32 per-slice metadata
         jy = jax.lax.broadcasted_iota(jnp.int32, (Tn, Y), 1
                                       ).astype(jnp.float32) + 0.5
         wy = jnp.maximum(0.0, 1.0 - jnp.abs(t_pos[:, None] - jy))
-        tmp = jnp.dot(wx.astype(jnp.bfloat16), sl.astype(jnp.bfloat16),
+        tmp = jnp.dot(wx.astype(mm_dtype), sl.astype(mm_dtype),
                       preferred_element_type=jnp.float32)
-        F = jnp.dot(tmp.astype(jnp.bfloat16),
-                    wy.T.astype(jnp.bfloat16),
+        F = jnp.dot(tmp.astype(mm_dtype),
+                    wy.T.astype(mm_dtype),
                     preferred_element_type=jnp.float32)     # (Sn, Tn)
 
         Fm1 = fm1_ref[:]
@@ -134,17 +136,23 @@ def march_pallas(vol_zxy: jnp.ndarray,        # (Z, X, Y) slice-major
                  meta: jnp.ndarray,           # (K, 8) f32
                  s_grid: jnp.ndarray, t_grid: jnp.ndarray,
                  Sn: int, Tn: int,
-                 interpret: "bool | None" = None):
+                 interpret: "bool | None" = None,
+                 dtype=jnp.bfloat16):
     """Run the march; returns (m_hit, frac, g_s, g_t, g_z) (Sn, Tn) f32.
+
+    ``dtype`` is the slice-storage / resample-matmul dtype
+    (``RenderConfig.sweep_dtype``); accumulation is always f32.
 
     Called from inside the jitted sweep; ``interpret`` defaults to True on
     the CPU backend so the whole renderer stays testable there."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    dtype = jnp.dtype(dtype)
     Z, X, Y = vol_zxy.shape
     K = meta.shape[0]
     outs = pl.pallas_call(
-        functools.partial(_march_kernel, Sn=Sn, Tn=Tn, X=X, Y=Y),
+        functools.partial(_march_kernel, Sn=Sn, Tn=Tn, X=X, Y=Y,
+                          mm_dtype=dtype),
         grid=(K,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -158,11 +166,11 @@ def march_pallas(vol_zxy: jnp.ndarray,        # (Z, X, Y) slice-major
                                 memory_space=pltpu.VMEM)] * 6,
         out_shape=[jax.ShapeDtypeStruct((Sn, Tn), jnp.float32)] * 6,
         scratch_shapes=[
-            pltpu.VMEM((2, X, Y), jnp.bfloat16),
-            pltpu.VMEM((2, X, Y), jnp.bfloat16),
+            pltpu.VMEM((2, X, Y), dtype),
+            pltpu.VMEM((2, X, Y), dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(meta, vol_zxy.astype(jnp.bfloat16), s_grid[None], t_grid[None])
+    )(meta, vol_zxy.astype(dtype), s_grid[None], t_grid[None])
     m_hit, frac, _, g_s, g_t, g_z = outs
     return m_hit, frac, g_s, g_t, g_z
