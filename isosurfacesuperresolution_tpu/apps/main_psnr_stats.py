@@ -42,8 +42,10 @@ def load_volume(spec: str):
     from isosurfacesuperresolution_tpu.volume.importers import (
         import_raw, load_cvol)
     if spec.startswith("analytic:"):
-        name = spec.split(":", 1)[1]
-        return getattr(analytic, f"{name}_volume")(128), name
+        parts = spec.split(":")        # analytic:<name>[:<resolution>]
+        name = parts[1]
+        res = int(parts[2]) if len(parts) > 2 else 128
+        return getattr(analytic, f"{name}_volume")(res), name
     if spec.endswith(".dat"):
         return import_raw(spec), os.path.basename(spec)[:-4]
     if spec.endswith(".npz"):

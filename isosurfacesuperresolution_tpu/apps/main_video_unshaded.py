@@ -156,15 +156,31 @@ def load_sequences(args, cfg):
         makers = {"sphere": analytic.sphere_volume,
                   "torus": analytic.torus_volume,
                   "gyroid": analytic.gyroid_volume,
-                  "blobs": analytic.blobs_volume}
-        if name not in makers and name != "mix":
+                  "blobs": analytic.blobs_volume,
+                  "turbulence": analytic.turbulence_volume,
+                  "ejecta": analytic.ejecta_volume,
+                  "interface": analytic.interface_volume}
+        if name not in makers and name not in ("mix", "mix2"):
             raise SystemExit(f"unknown analytic volume {name}")
-        if name == "mix":
+        if name in ("mix", "mix2"):
             grids = [(analytic.blobs_volume(128, num_blobs=8), (0.5, 0.5)),
                      (analytic.torus_volume(128), (0.5, 0.5)),
                      (analytic.gyroid_volume(128), (0.45, 0.55)),
                      (analytic.blobs_volume(128, num_blobs=14, seed=7),
                       (0.4, 0.6))]
+            if name == "mix2":
+                # round-2 zoo: reference-dataset analogues (Clouds / Ejecta /
+                # RM, mainPSNR3_AllStats.py:29-40) at doubled resolution for
+                # high-frequency training content
+                grids += [
+                    (analytic.turbulence_volume(256, seed=1), (0.45, 0.55)),
+                    (analytic.turbulence_volume(256, seed=2, beta=3.0),
+                     (0.45, 0.55)),
+                    (analytic.ejecta_volume(256, seed=3), (0.3, 0.5)),
+                    (analytic.ejecta_volume(256, seed=4,
+                                            num_particles=700), (0.3, 0.5)),
+                    (analytic.interface_volume(256, seed=5), (0.45, 0.55)),
+                ]
             seq_cfg = SequenceConfig(
                 num_frames=args.numFrames,
                 high_res=args.cropSize * args.upscaleFactor * 4,

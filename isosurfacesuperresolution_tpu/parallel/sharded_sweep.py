@@ -160,7 +160,7 @@ def render_gbuffer_sweep_sharded(grid: BrickGrid, cam: CameraParams,
 
     axis = major_axis(cam)
     perm = _PERMS[axis]
-    values = jnp.transpose(grid.values, perm)
+    values = jnp.transpose(grid.dequant(grid.values), perm)
     X, Y, Z = values.shape
     assert Z % D == 0, (Z, D)
     Zl = Z // D

@@ -144,6 +144,6 @@ def attach_baked_ao(grid: BrickGrid, isovalue: float, ao_radius_world: float,
     (RenderConfig.ao_radius); it converts to voxels via the grid transform.
     """
     radius_vox = float(ao_radius_world) / float(grid.voxel_size[0])
-    sh = bake_occlusion_sh(grid.values, isovalue, radius_vox,
+    sh = bake_occlusion_sh(grid.dequant(grid.values), isovalue, radius_vox,
                            num_dirs=num_dirs, num_steps=num_steps)
     return dataclasses.replace(grid, ao_sh=sh)

@@ -133,9 +133,17 @@ def _sweep_permuted(values: jnp.ndarray,      # (X, Y, Z) permuted volume
     mm_dtype = jnp.dtype(cfg.sweep_dtype)
 
     def resample_slice(lam, zf, fz):
-        sl = ((1.0 - fz) * jax.lax.dynamic_slice_in_dim(values, zf, 1, 2)
-              + fz * jax.lax.dynamic_slice_in_dim(values, zf + 1, 1, 2)
-              )[:, :, 0]
+        s0 = jax.lax.dynamic_slice_in_dim(values, zf, 1, 2
+                                          ).astype(jnp.float32)
+        s1 = jax.lax.dynamic_slice_in_dim(values, zf + 1, 1, 2
+                                          ).astype(jnp.float32)
+        sl = ((1.0 - fz) * s0 + fz * s1)[:, :, 0]
+        # affine dequantization of compact-storage volumes (lerp commutes
+        # with the affine map, so one scale+offset after the z-lerp)
+        if grid.value_scale != 1.0:
+            sl = sl * jnp.float32(grid.value_scale)
+        if grid.value_offset != 0.0:
+            sl = sl + jnp.float32(grid.value_offset)
         wx, wy = slice_weights(lam)
         tmp = jnp.dot(wx.astype(mm_dtype), sl.astype(mm_dtype),
                       preferred_element_type=jnp.float32)
@@ -214,7 +222,8 @@ def _sweep_permuted(values: jnp.ndarray,      # (X, Y, Z) permuted volume
              jnp.full_like(zcs, eye_p[1])], axis=1)
         vol_zxy = jnp.transpose(values, (2, 0, 1))
         m_hit, frac, g_s, g_t, g_z = march_pallas(
-            vol_zxy, meta, s_grid, t_grid, Sn, Tn, dtype=mm_dtype)
+            vol_zxy, meta, s_grid, t_grid, Sn, Tn, dtype=mm_dtype,
+            scale=grid.value_scale, offset=grid.value_offset)
         sh_hit = zero4
     else:
         init = (zero - 1.0, zero, zero, zero, zero, zero)

@@ -43,7 +43,8 @@ def _march_kernel(meta_ref,            # SMEM (K, 8) f32 per-slice metadata
                   sg_ref, tg_ref,      # VMEM (Sn,) / (Tn,) grids (2-d rows)
                   mhit_ref, frac_ref, fm1_ref, gs_ref, gt_ref, gz_ref,
                   s0, s1, sems,
-                  *, Sn: int, Tn: int, X: int, Y: int, mm_dtype):
+                  *, Sn: int, Tn: int, X: int, Y: int, mm_dtype,
+                  scale: float = 1.0, offset: float = 0.0):
     k = pl.program_id(0)
     K = pl.num_programs(0)
 
@@ -90,6 +91,11 @@ def _march_kernel(meta_ref,            # SMEM (K, 8) f32 per-slice metadata
     def update(slot):
         sl = ((1.0 - fz) * slot[0].astype(jnp.float32)
               + fz * slot[1].astype(jnp.float32))          # (X, Y)
+        # affine dequant of compact-storage (bf16/uint8) volumes
+        if scale != 1.0:
+            sl = sl * jnp.float32(scale)
+        if offset != 0.0:
+            sl = sl + jnp.float32(offset)
         # 2-tap interpolation weights built in-register
         s_pos = eye_s + lam * (sg_ref[0, :] - eye_s)        # (Sn,)
         t_pos = eye_t + lam * (tg_ref[0, :] - eye_t)        # (Tn,)
@@ -137,22 +143,27 @@ def march_pallas(vol_zxy: jnp.ndarray,        # (Z, X, Y) slice-major
                  s_grid: jnp.ndarray, t_grid: jnp.ndarray,
                  Sn: int, Tn: int,
                  interpret: "bool | None" = None,
-                 dtype=jnp.bfloat16):
+                 dtype=jnp.bfloat16,
+                 scale: float = 1.0, offset: float = 0.0):
     """Run the march; returns (m_hit, frac, g_s, g_t, g_z) (Sn, Tn) f32.
 
-    ``dtype`` is the slice-storage / resample-matmul dtype
-    (``RenderConfig.sweep_dtype``); accumulation is always f32.
+    ``dtype`` is the resample-matmul dtype (``RenderConfig.sweep_dtype``);
+    accumulation is always f32.  A ``uint8`` volume stays uint8 in
+    HBM/VMEM (quarter bandwidth) and is affine-dequantized
+    (``* scale + offset``) after the z-lerp.
 
     Called from inside the jitted sweep; ``interpret`` defaults to True on
     the CPU backend so the whole renderer stays testable there."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     dtype = jnp.dtype(dtype)
+    store_dtype = (jnp.uint8 if vol_zxy.dtype == jnp.uint8
+                   else dtype)
     Z, X, Y = vol_zxy.shape
     K = meta.shape[0]
     outs = pl.pallas_call(
         functools.partial(_march_kernel, Sn=Sn, Tn=Tn, X=X, Y=Y,
-                          mm_dtype=dtype),
+                          mm_dtype=dtype, scale=scale, offset=offset),
         grid=(K,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -166,11 +177,11 @@ def march_pallas(vol_zxy: jnp.ndarray,        # (Z, X, Y) slice-major
                                 memory_space=pltpu.VMEM)] * 6,
         out_shape=[jax.ShapeDtypeStruct((Sn, Tn), jnp.float32)] * 6,
         scratch_shapes=[
-            pltpu.VMEM((2, X, Y), dtype),
-            pltpu.VMEM((2, X, Y), dtype),
+            pltpu.VMEM((2, X, Y), store_dtype),
+            pltpu.VMEM((2, X, Y), store_dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(meta, vol_zxy.astype(dtype), s_grid[None], t_grid[None])
+    )(meta, vol_zxy.astype(store_dtype), s_grid[None], t_grid[None])
     m_hit, frac, _, g_s, g_t, g_z = outs
     return m_hit, frac, g_s, g_t, g_z

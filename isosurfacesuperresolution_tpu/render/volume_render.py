@@ -201,7 +201,7 @@ def render_volume_sweep(grid: BrickGrid, cam: CameraParams,
 
     def make_branch(perm):
         def branch():
-            values = jnp.transpose(grid.values, perm)
+            values = jnp.transpose(grid.dequant(grid.values), perm)
             pidx = jnp.asarray(perm)
             return _volume_sweep_permuted(values, eye_vox[pidx],
                                           M[pidx, :], flip, cfg, tf)
@@ -247,7 +247,11 @@ def render_volume_march(grid: BrickGrid, cam: CameraParams,
             C, T = carry
             p = eye_vox + dv * (i * step)
             inside = jnp.all((p >= 0.5) & (p <= res - 0.5))
-            dens = jnp.where(inside, sample_trilinear(grid.values, p), 0.0)
+            dens = jnp.where(inside,
+                             sample_trilinear(grid.values, p,
+                                              scale=grid.value_scale,
+                                              offset=grid.value_offset),
+                             0.0)
             rgba = apply_transfer(dens, tf)
             a = jnp.clip(rgba[3] * alpha_scale, 0.0, 1.0)
             C = C + T * a * rgba[:3]

@@ -81,6 +81,125 @@ def gyroid_volume(resolution: int = 64,
     return BrickGrid.from_dense(d.astype(np.float32), brick_size=brick_size)
 
 
+def _spectral_noise(resolution: int, rng: np.random.RandomState,
+                    beta: float = 3.0) -> np.ndarray:
+    """Smooth random field by spectral synthesis: white noise shaped by a
+    1/f^(beta/2) amplitude spectrum (fBm-like).  Output normalized to
+    zero mean, unit std."""
+    white = rng.randn(resolution, resolution, resolution)
+    spec = np.fft.rfftn(white)
+    kx = np.fft.fftfreq(resolution)[:, None, None]
+    ky = np.fft.fftfreq(resolution)[None, :, None]
+    kz = np.fft.rfftfreq(resolution)[None, None, :]
+    k = np.sqrt(kx ** 2 + ky ** 2 + kz ** 2)
+    k[0, 0, 0] = 1.0
+    field = np.fft.irfftn(spec / k ** (beta / 2.0),
+                          s=(resolution,) * 3)
+    field -= field.mean()
+    field /= field.std() + 1e-12
+    return field.astype(np.float32)
+
+
+def turbulence_volume(resolution: int = 64,
+                      seed: int = 0,
+                      beta: float = 3.5,
+                      coverage: float = 0.35,
+                      brick_size: int = 8) -> BrickGrid:
+    """Cloud-like fBm density - the analytic analogue of the reference's
+    Clouds datasets (`mainPSNR3_AllStats.py:29-33`): wispy multi-scale
+    structure with soft silhouettes, bounded by a radial falloff."""
+    rng = np.random.RandomState(seed)
+    n = _spectral_noise(resolution, rng, beta)
+    x, y, z = _grid_coords(resolution)
+    r = np.sqrt(x ** 2 + y ** 2 + z ** 2)
+    falloff = np.clip(1.0 - (r / 0.45) ** 2, 0.0, 1.0)
+    # shift so roughly `coverage` of the in-sphere voxels exceed 0.5
+    inside = n[r < 0.45]
+    thresh = np.quantile(inside, 1.0 - coverage)
+    d = 0.5 + 0.35 * (n - thresh)
+    d = np.clip(d * falloff, 0.0, 1.0).astype(np.float32)
+    return BrickGrid.from_dense(d, brick_size=brick_size)
+
+
+def ejecta_volume(resolution: int = 64,
+                  num_particles: int = 400,
+                  seed: int = 0,
+                  brick_size: int = 8) -> BrickGrid:
+    """Radial particle burst - the Ejecta-dataset analogue
+    (`mainPSNR3_AllStats.py:37-40`): hundreds of small dense clumps shot
+    outward from a dense core, giving high-frequency silhouettes.
+
+    Each Gaussian clump is rasterized only inside its local window so the
+    construction stays O(particles * window^3) and scales to 512^3."""
+    rng = np.random.RandomState(seed)
+    res = resolution
+    d = np.zeros((res, res, res), np.float32)
+    # dense core
+    x, y, z = _grid_coords(res)
+    r2c = x ** 2 + y ** 2 + z ** 2
+    d += np.exp(-r2c / (2 * 0.06 ** 2)).astype(np.float32)
+    coords = (np.arange(res, dtype=np.float32) + 0.5) / res - 0.5
+    for _ in range(num_particles):
+        dirv = rng.randn(3)
+        dirv /= np.linalg.norm(dirv)
+        dist = 0.12 + 0.33 * rng.uniform() ** 0.7
+        c = dirv * dist
+        rad = rng.uniform(0.008, 0.03) * (1.2 - dist)
+        # local window of +-3 sigma
+        w = 3.0 * rad
+        idx = []
+        for ax in range(3):
+            lo = int(np.searchsorted(coords, c[ax] - w))
+            hi = int(np.searchsorted(coords, c[ax] + w)) + 1
+            lo, hi = max(lo, 0), min(hi, res)
+            if hi <= lo:
+                break
+            idx.append((lo, hi))
+        if len(idx) != 3:
+            continue
+        (x0, x1), (y0, y1), (z0, z1) = idx
+        gx = coords[x0:x1, None, None] - c[0]
+        gy = coords[None, y0:y1, None] - c[1]
+        gz = coords[None, None, z0:z1] - c[2]
+        r2 = gx ** 2 + gy ** 2 + gz ** 2
+        d[x0:x1, y0:y1, z0:z1] += np.exp(-r2 / (2 * (rad / 1.5) ** 2)
+                                         ).astype(np.float32)
+    d = np.clip(d, 0.0, 1.0)
+    return BrickGrid.from_dense(d, brick_size=brick_size)
+
+
+def interface_volume(resolution: int = 64,
+                     seed: int = 0,
+                     roughness: float = 0.12,
+                     brick_size: int = 8) -> BrickGrid:
+    """Crumpled-interface slab - the Richtmyer-Meshkov analogue
+    (`mainPSNR3_AllStats.py:34-36`): a dense layer whose upper surface is
+    displaced by multi-scale 2D noise, yielding folded, overhanging
+    structures once thresholded."""
+    rng = np.random.RandomState(seed)
+    res = resolution
+    # 2D spectral noise as the interface height field
+    white = rng.randn(res, res)
+    spec = np.fft.rfft2(white)
+    kx = np.fft.fftfreq(res)[:, None]
+    ky = np.fft.rfftfreq(res)[None, :]
+    k = np.sqrt(kx ** 2 + ky ** 2)
+    k[0, 0] = 1.0
+    h = np.fft.irfft2(spec / k ** 1.5, s=(res, res))
+    h = (h - h.mean()) / (h.std() + 1e-12)
+    x, y, z = _grid_coords(res)
+    surface = -0.05 + roughness * h[:, :, None]
+    # 3D noise modulates the slab so the interface tears into blobs
+    n3 = _spectral_noise(res, rng, 3.0)
+    d = 0.5 + 4.0 * (surface - z) + 0.35 * n3
+    # slab bottom + lateral bounds
+    d = np.where(z < -0.35, 0.0, d)
+    lateral = np.maximum(np.abs(x), np.abs(y))
+    d = d * np.clip((0.45 - lateral) / 0.05, 0.0, 1.0)
+    d = np.clip(d, 0.0, 1.0).astype(np.float32)
+    return BrickGrid.from_dense(d, brick_size=brick_size)
+
+
 def blobs_volume(resolution: int = 64,
                  num_blobs: int = 6,
                  seed: int = 0,

@@ -57,16 +57,35 @@ class BrickGrid:
     # optional baked SH-L1 occlusion field (X, Y, Z, 4) for fast AO
     # (see render/ao_sweep.py); None = not baked
     ao_sh: "jnp.ndarray | None" = None
+    # compact-storage dequantization: physical = stored * scale + offset.
+    # ``values`` may be float32 (scale 1), bfloat16, or uint8 (the RAW
+    # importer's native dtype, `ExternalImporter.cpp:94-118`); uint8 at
+    # 1024^3 is 1 GB of HBM instead of 4.  Static so XLA folds the
+    # constants into the sampling code.
+    value_scale: float = 1.0
+    value_offset: float = 0.0
 
     # -- pytree protocol ----------------------------------------------------
     def tree_flatten(self):
         children = (self.values, self.brick_min, self.brick_max,
                     self.bbox_min, self.bbox_max, self.ao_sh)
-        return children, (self.brick_size,)
+        return children, (self.brick_size, self.value_scale,
+                          self.value_offset)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children[:5], brick_size=aux[0], ao_sh=children[5])
+        return cls(*children[:5], brick_size=aux[0], ao_sh=children[5],
+                   value_scale=aux[1], value_offset=aux[2])
+
+    # -- compact storage -----------------------------------------------------
+    def dequant(self, stored: jnp.ndarray) -> jnp.ndarray:
+        """Stored-dtype values -> physical float32 densities."""
+        x = stored.astype(jnp.float32)
+        if self.value_scale != 1.0:
+            x = x * jnp.float32(self.value_scale)
+        if self.value_offset != 0.0:
+            x = x + jnp.float32(self.value_offset)
+        return x
 
     # -- derived quantities --------------------------------------------------
     @property
@@ -100,14 +119,16 @@ class BrickGrid:
         Out-of-bounds samples return 0 (empty space), matching GVDB's
         behaviour outside allocated nodes (`render_kernel.cu:60-66`).
         """
-        return sample_trilinear(self.values, vox)
+        return sample_trilinear(self.values, vox,
+                                scale=self.value_scale,
+                                offset=self.value_offset)
 
     def sample_nearest(self, vox: jnp.ndarray) -> jnp.ndarray:
         shape = jnp.asarray(self.values.shape, jnp.int32)
         idx = jnp.floor(vox).astype(jnp.int32)
         inside = jnp.all((idx >= 0) & (idx < shape), axis=-1)
         idx = jnp.clip(idx, 0, shape - 1)
-        v = self.values[idx[..., 0], idx[..., 1], idx[..., 2]]
+        v = self.dequant(self.values[idx[..., 0], idx[..., 1], idx[..., 2]])
         return jnp.where(inside, v, 0.0)
 
     def brick_max_at(self, vox: jnp.ndarray) -> jnp.ndarray:
@@ -131,13 +152,20 @@ class BrickGrid:
                    brick_size: int = DEFAULT_BRICK_SIZE,
                    normalize_box: bool = True,
                    bbox: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+                   store_dtype: str = "float32",
                    ) -> "BrickGrid":
         """Build a BrickGrid from a dense (X, Y, Z) array.
 
         With ``normalize_box=True`` the volume is scaled uniformly so its
         longest side spans 1 world unit, centered at the origin - parity with
         the unit-box normalization of `CPURenderer.cpp:448-460`.
+
+        ``store_dtype``: HBM storage of the density array - ``float32``
+        (exact), ``bfloat16`` (half the footprint, ~3e-3 relative error) or
+        ``uint8`` (quarter footprint, affine-dequantized over the value
+        range - the dtype RAW UCHAR datasets arrive in anyway).
         """
+        raw_in = values
         values = jnp.asarray(values, jnp.float32)
         if values.ndim != 3:
             raise ValueError(f"expected 3D volume, got shape {values.shape}")
@@ -154,12 +182,40 @@ class BrickGrid:
             bbox_min = jnp.zeros(3, jnp.float32)
             bbox_max = jnp.asarray(res, jnp.float32)
 
-        brick_min, brick_max = compute_brick_minmax(values, brick_size)
-        return cls(values=values, brick_min=brick_min, brick_max=brick_max,
-                   bbox_min=bbox_min, bbox_max=bbox_max, brick_size=brick_size)
+        scale, offset = 1.0, 0.0
+        if store_dtype == "float32":
+            stored = values
+        elif store_dtype == "bfloat16":
+            stored = values.astype(jnp.bfloat16)
+        elif store_dtype == "uint8":
+            if (isinstance(raw_in, np.ndarray) and raw_in.dtype == np.uint8):
+                # RAW UCHAR data: keep the importer's bytes bit-exact with
+                # the conventional /255 normalization
+                stored = jnp.asarray(raw_in)
+                scale = 1.0 / 255.0
+            else:
+                vmin = float(jnp.min(values))
+                vmax = float(jnp.max(values))
+                span = max(vmax - vmin, 1e-12)
+                q = jnp.round((values - vmin) / span * 255.0)
+                stored = jnp.clip(q, 0, 255).astype(jnp.uint8)
+                scale = span / 255.0
+                offset = vmin
+        else:
+            raise ValueError(f"unknown store_dtype {store_dtype!r}")
+        # the skip pyramid bounds the DEQUANTIZED physical values (what the
+        # renderer actually samples) so culling stays conservative after
+        # quantization
+        physical = stored.astype(jnp.float32) * scale + offset
+        brick_min, brick_max = compute_brick_minmax(physical, brick_size)
+        return cls(values=stored, brick_min=brick_min, brick_max=brick_max,
+                   bbox_min=bbox_min, bbox_max=bbox_max,
+                   brick_size=brick_size,
+                   value_scale=scale, value_offset=offset)
 
 
-def sample_trilinear(values: jnp.ndarray, vox: jnp.ndarray) -> jnp.ndarray:
+def sample_trilinear(values: jnp.ndarray, vox: jnp.ndarray,
+                     scale: float = 1.0, offset: float = 0.0) -> jnp.ndarray:
     """Trilinear interpolation of a dense (X, Y, Z) volume.
 
     ``vox`` holds continuous voxel coordinates (..., 3) where the voxel stored
@@ -179,7 +235,7 @@ def sample_trilinear(values: jnp.ndarray, vox: jnp.ndarray) -> jnp.ndarray:
     i0 = p0.astype(jnp.int32)
 
     # validity of the 8 stencil corners is handled by clamping + zero weight
-    # outside: a corner outside the volume contributes value 0.
+    # outside: a corner outside the volume contributes (physical) value 0.
     def corner(dx, dy, dz):
         idx = i0 + jnp.array([dx, dy, dz], jnp.int32)
         inside = ((idx[..., 0] >= 0) & (idx[..., 0] < X)
@@ -187,7 +243,11 @@ def sample_trilinear(values: jnp.ndarray, vox: jnp.ndarray) -> jnp.ndarray:
                   & (idx[..., 2] >= 0) & (idx[..., 2] < Z))
         ic = jnp.clip(idx, 0, jnp.asarray([X - 1, Y - 1, Z - 1], jnp.int32))
         flat = (ic[..., 0] * Y + ic[..., 1]) * Z + ic[..., 2]
-        v = jnp.take(values.reshape(-1), flat)
+        v = jnp.take(values.reshape(-1), flat).astype(jnp.float32)
+        if scale != 1.0:
+            v = v * jnp.float32(scale)
+        if offset != 0.0:
+            v = v + jnp.float32(offset)
         return jnp.where(inside, v, 0.0)
 
     fx, fy, fz = frac[..., 0], frac[..., 1], frac[..., 2]

@@ -91,7 +91,8 @@ def box_downsample(vol: np.ndarray, factor: int) -> np.ndarray:
 def import_raw(path: str, downsampling: int = 1,
                lower_threshold: float = 0.001,
                brick_size: int = 8,
-               use_native: bool = True) -> BrickGrid:
+               use_native: bool = True,
+               store_dtype: str = "float32") -> BrickGrid:
     """Import a ``.dat``+raw volume into a BrickGrid.
 
     Values below ``lower_threshold`` are zeroed (the sparsity threshold of
@@ -117,11 +118,13 @@ def import_raw(path: str, downsampling: int = 1,
         vol = _load_raw_numpy(bfile, resolution, fmt)
         vol = box_downsample(vol, downsampling)
         vol[vol < lower_threshold] = 0.0
-    return BrickGrid.from_dense(vol, brick_size=brick_size)
+    return BrickGrid.from_dense(vol, brick_size=brick_size,
+                                store_dtype=store_dtype)
 
 
 def import_npy(path: str, brick_size: int = 8,
-               lower_threshold: float = 0.0) -> BrickGrid:
+               lower_threshold: float = 0.0,
+               store_dtype: str = "float32") -> BrickGrid:
     """Load a dense (X, Y, Z) volume from .npy/.npz."""
     if path.endswith(".npz"):
         with np.load(path) as data:
@@ -131,7 +134,8 @@ def import_npy(path: str, brick_size: int = 8,
     vol = np.asarray(vol, np.float32)
     if lower_threshold > 0:
         vol = np.where(vol < lower_threshold, 0.0, vol)
-    return BrickGrid.from_dense(vol, brick_size=brick_size)
+    return BrickGrid.from_dense(vol, brick_size=brick_size,
+                                store_dtype=store_dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -147,7 +151,9 @@ def save_cvol(path: str, grid: BrickGrid) -> None:
         brick_max=np.asarray(grid.brick_max),
         bbox_min=np.asarray(grid.bbox_min),
         bbox_max=np.asarray(grid.bbox_max),
-        brick_size=np.asarray(grid.brick_size))
+        brick_size=np.asarray(grid.brick_size),
+        value_scale=np.asarray(grid.value_scale),
+        value_offset=np.asarray(grid.value_offset))
     if grid.ao_sh is not None:
         payload["ao_sh"] = np.asarray(grid.ao_sh)
     np.savez_compressed(path, **payload)
@@ -163,4 +169,8 @@ def load_cvol(path: str) -> BrickGrid:
             bbox_min=jnp.asarray(d["bbox_min"]),
             bbox_max=jnp.asarray(d["bbox_max"]),
             brick_size=int(d["brick_size"]),
-            ao_sh=jnp.asarray(d["ao_sh"]) if "ao_sh" in d else None)
+            ao_sh=jnp.asarray(d["ao_sh"]) if "ao_sh" in d else None,
+            value_scale=(float(d["value_scale"])
+                         if "value_scale" in d else 1.0),
+            value_offset=(float(d["value_offset"])
+                          if "value_offset" in d else 0.0))

@@ -21,3 +21,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Apply the `slow` marker from the measured list (tests/_slow_tests.py)
+    so `pytest -m "not slow"` is a <3-minute gate; explicit
+    @pytest.mark.slow decorations are honored as well."""
+    import pytest
+
+    from tests._slow_tests import SLOW_TESTS
+    for item in items:
+        base = item.nodeid.split("[")[0]
+        if base in SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
