@@ -60,6 +60,16 @@ class RenderConfig:
     renderer: str = "sweep"
     sweep_oversample: float = 1.5      # intermediate grid resolution factor
     sweep_z_supersample: int = 2       # slice planes per voxel along the axis
+    # view-adaptive oversampling: rays hitting the slice planes obliquely
+    # (diagonal views, the shear-warp's worst case) smear the 2-tap
+    # resample; concrete-camera callers scale the intermediate grid by the
+    # axis obliquity 1/max|f| (bucketed to 0.5 so the compile count stays
+    # bounded).  Traced-camera callers (the fused interactive frame) keep
+    # the static base factor - shapes must be static under jit.
+    # Measured (tests/test_sweep.py): diagonal-view mask IoU vs the march
+    # oracle 0.91 -> 0.97.
+    sweep_adaptive_oversample: bool = True
+    sweep_max_oversample: float = 3.5
     # dtype of the per-slice resample matmuls (accumulation is always f32).
     # bfloat16 doubles the MXU rate of the sweep's dominant cost; the
     # density quantization (~3e-3 relative) is below the isosurface

@@ -6,13 +6,21 @@ sweep's major axis, one slab per device.  Each device marches only its own
 K/D slice planes - the sequential depth of the sweep divides by the mesh
 size - after a one-time halo exchange of two boundary slices over the mesh
 axis (`jax.lax.ppermute`, the ICI-neighbor collective).  The per-slab
-partial hit states are then combined with a single `all_gather` + first-hit
-select (the front-to-back "first slab that hit wins" rule is associative in
-march order, so no sequential pass over devices is needed).
+partial hit states are combined with `pmin` (the winning global slice
+index - slab m-ranges are disjoint, so the minimum is unique) + `psum` of
+the winner-masked payload: the front-to-back "first slab that hit wins"
+rule becomes two O(image)-sized all-reduces, and NO device materializes a
+device-count-sized buffer (an earlier all_gather+select combine did).
 
 Everything runs under `shard_map` with the volume sharded
 ``P(None, None, 'z')`` and the camera/image replicated; the combine and the
 final shading/homography are replicated work on image-sized buffers.
+
+The axis length need NOT divide the mesh (slabs are zero-padded; padding
+is empty space and march validity is clamped to the true volume), and
+baked-AO rendering is supported: the SH-L1 occlusion field
+(`render/ao_sweep.py`) is sharded in the same slabs and captured at the
+hit plane exactly like the single-device sweep.
 
 Testable on the CPU mesh (`XLA_FLAGS=--xla_force_host_platform_device_
 count=8`); parity with the single-device sweep is exact up to fp order
@@ -49,10 +57,12 @@ def major_axis(cam: CameraParams) -> int:
 
 def _slab_sweep(values_halo: jnp.ndarray,    # (X, Y, Zl + 2*HALO) local
                 z0: jnp.ndarray,             # traced: slab's global z start
-                Z: int,                      # global axis length
+                Z: int,                      # global axis length (unpadded)
                 eye_p: jnp.ndarray, ray_mat: jnp.ndarray,
                 flip: jnp.ndarray, cfg: RenderConfig,
-                geom) -> Tuple[jnp.ndarray, ...]:
+                geom,
+                ao_halo: "jnp.ndarray | None" = None,
+                ) -> Tuple[jnp.ndarray, ...]:
     """March this slab's slice planes; return partial hit state.
 
     Geometry mirrors `render.sweep._sweep_permuted` (cited there); slice
@@ -74,6 +84,9 @@ def _slab_sweep(values_halo: jnp.ndarray,    # (X, Y, Zl + 2*HALO) local
 
     # global m-range crossing this slab: z in [z0, z0 + Zl)
     m_start = jnp.where(flip, (Z - z0 - Zl) * zss, z0 * zss)
+    # padded slabs can reach outside the true volume's global slice range
+    # [0, Z*zss); their out-of-range planes are invalid
+    K_global = Z * zss
 
     vmax_z = jnp.max(values_halo, axis=(0, 1))
 
@@ -103,7 +116,30 @@ def _slab_sweep(values_halo: jnp.ndarray,    # (X, Y, Zl + 2*HALO) local
                     preferred_element_type=jnp.float32)
         smax = jnp.maximum(vmax_z[zf], vmax_z[zf + 1])
         valid = sigma * (zc - eye_p[2]) > (0.5 - 1e-3)
+        valid = valid & (m > -1e-3) & (m < K_global - 1 + 1e-3)
         return F, smax, valid
+
+    def slice_sh(m):
+        """(Sn, Tn, 4) SH occlusion resample at plane m (mirror of
+        `sweep.resample_ao_slice`)."""
+        zc = z_c(m)
+        lam = (zc - eye_p[2]) / kk
+        zf_g = jnp.clip(jnp.floor(zc - 0.5), 0, Z - 2)
+        zf = (zf_g - z0 + HALO).astype(jnp.int32)
+        zf = jnp.clip(zf, 0, Zl + 2 * HALO - 2)
+        fz = jnp.clip(zc - 0.5 - zf_g, 0.0, 1.0)
+        sl = ((1.0 - fz)
+              * jax.lax.dynamic_slice_in_dim(ao_halo, zf, 1, 2)
+              + fz * jax.lax.dynamic_slice_in_dim(ao_halo, zf + 1, 1, 2)
+              )[:, :, 0, :]                                 # (X, Y, 4)
+        x_pos = eye_p[0] + lam * (s_grid - eye_p[0])
+        y_pos = eye_p[1] + lam * (t_grid - eye_p[1])
+        wx = interp_matrix(x_pos, X)
+        wy = interp_matrix(y_pos, Y)
+        tmp = jnp.einsum("sx,xyc->syc", wx, sl,
+                         preferred_element_type=jnp.float32)
+        return jnp.einsum("syc,ty->stc", tmp, wy,
+                          preferred_element_type=jnp.float32)
 
     def compute_F(m, pred):
         F, smax, valid = slice_F(m)
@@ -117,8 +153,14 @@ def _slab_sweep(values_halo: jnp.ndarray,    # (X, Y, Zl + 2*HALO) local
     F_entry, _ = compute_F(m_start - 1.0, True)
     F_entry = jnp.where(m_start > 0.5, F_entry, zero)
 
+    zero4 = jnp.zeros((Sn, Tn, 4), jnp.float32) + 0.0 * z0
+    use_ao = ao_halo is not None
+
     def body(carry, j):
-        (m_hit, frac, Fm1, g_s, g_t, g_z) = carry
+        if use_ao:
+            (m_hit, frac, Fm1, g_s, g_t, g_z, sh_hit) = carry
+        else:
+            (m_hit, frac, Fm1, g_s, g_t, g_z) = carry
         m = m_start + j
         found = m_hit >= 0.0
         F, valid = compute_F(m, True)
@@ -135,13 +177,21 @@ def _slab_sweep(values_halo: jnp.ndarray,    # (X, Y, Zl + 2*HALO) local
         g_s = jnp.where(crossing, dcen(Fm1, 0), g_s)
         g_t = jnp.where(crossing, dcen(Fm1, 1), g_t)
         g_z = jnp.where(crossing, F - Fm1, g_z)
+        if use_ao:
+            sh = jax.lax.cond(jnp.any(crossing),
+                              lambda: slice_sh(m), lambda: zero4)
+            sh_hit = jnp.where(crossing[..., None], sh, sh_hit)
+            return (m_hit, frac, F, g_s, g_t, g_z, sh_hit), None
         return (m_hit, frac, F, g_s, g_t, g_z), None
 
     init = (zero - 1.0, zero, F_entry, zero, zero, zero)
+    if use_ao:
+        init = init + (zero4,)
     res, _ = jax.lax.scan(body, init, jnp.arange(Kl, dtype=jnp.float32),
                           unroll=4)
-    m_hit, frac, _, g_s, g_t, g_z = res
-    return m_hit, frac, g_s, g_t, g_z
+    m_hit, frac, _, g_s, g_t, g_z = res[:6]
+    sh_hit = res[6] if use_ao else zero4
+    return m_hit, frac, g_s, g_t, g_z, sh_hit
 
 
 def render_gbuffer_sweep_sharded(grid: BrickGrid, cam: CameraParams,
@@ -151,10 +201,15 @@ def render_gbuffer_sweep_sharded(grid: BrickGrid, cam: CameraParams,
     """Slab-sharded sweep render -> replicated (H, W, 12) G-buffer.
 
     The volume is sharded along the camera's major axis over ``mesh``'s
-    ``axis_name`` dimension; requires the axis length to divide evenly.
-    AO is not supported in the sharded path (`ao_samples` must be 0).
+    ``axis_name`` dimension (zero-padded to a slab multiple when the axis
+    length does not divide).  With ``cfg.ao_samples > 0`` the grid must
+    carry a baked SH occlusion field (`render/ao_sweep.attach_baked_ao`);
+    it is sharded in the same slabs.
     """
-    assert cfg.ao_samples == 0, "sharded sweep: AO not supported"
+    use_ao = cfg.ao_samples > 0
+    if use_ao and grid.ao_sh is None:
+        raise ValueError("sharded sweep with AO needs a baked occlusion "
+                         "field; call render.ao_sweep.attach_baked_ao")
     W, H = cfg.width, cfg.height
     D = mesh.shape[axis_name]
 
@@ -162,8 +217,15 @@ def render_gbuffer_sweep_sharded(grid: BrickGrid, cam: CameraParams,
     perm = _PERMS[axis]
     values = jnp.transpose(grid.dequant(grid.values), perm)
     X, Y, Z = values.shape
-    assert Z % D == 0, (Z, D)
-    Zl = Z // D
+    Zl = -(-Z // D)                    # ceil: slabs zero-padded past Z
+    if Zl * D != Z:
+        values = jnp.pad(values, ((0, 0), (0, 0), (0, Zl * D - Z)))
+    ao_field = None
+    if use_ao:
+        ao_field = jnp.transpose(grid.ao_sh, perm + (3,))
+        if Zl * D != Z:
+            ao_field = jnp.pad(ao_field,
+                               ((0, 0), (0, 0), (0, Zl * D - Z), (0, 0)))
 
     pidx = jnp.asarray(perm)
     f_world = cam.look_at_pt - cam.eye
@@ -205,52 +267,63 @@ def render_gbuffer_sweep_sharded(grid: BrickGrid, cam: CameraParams,
     t_grid = t_min + (jnp.arange(Tn, dtype=jnp.float32) + 0.5) * dt
     geom = (s_grid, t_grid, kk, z_b)
 
-    def shard_fn(values_local):
-        # device position along the mesh axis -> slab origin
-        d = jax.lax.axis_index(axis_name)
-        z0 = d * Zl
-
-        # halo exchange: two boundary slices to each neighbour over ICI
-        lo_edge = values_local[:, :, :HALO]         # for the d-1 neighbour
-        hi_edge = values_local[:, :, -HALO:]        # for the d+1 neighbour
+    def _exchange_halo(local, d):
+        """Two boundary slices to each neighbour over ICI (axis 2)."""
+        lo_edge = local[:, :, :HALO]                # for the d-1 neighbour
+        hi_edge = local[:, :, -HALO:]               # for the d+1 neighbour
         fwd = [(i, (i + 1) % D) for i in range(D)]
         bwd = [(i, (i - 1) % D) for i in range(D)]
         from_prev = jax.lax.ppermute(hi_edge, axis_name, fwd)
         from_next = jax.lax.ppermute(lo_edge, axis_name, bwd)
         # wrap-around neighbours deliver garbage at the volume boundary;
         # mask them to zero (outside-volume background)
-        from_prev = jnp.where(d == 0, 0.0, from_prev)
-        from_next = jnp.where(d == D - 1, 0.0, from_next)
-        values_halo = jnp.concatenate(
-            [from_prev, values_local, from_next], axis=2)
+        from_prev = jnp.where(d == 0, jnp.zeros_like(from_prev), from_prev)
+        from_next = jnp.where(d == D - 1, jnp.zeros_like(from_next),
+                              from_next)
+        return jnp.concatenate([from_prev, local, from_next], axis=2)
 
-        m_hit, frac, g_s, g_t, g_z = _slab_sweep(
-            values_halo, jnp.float32(z0), Z, eye_p, M, flip, cfg, geom)
+    def shard_fn(values_local, ao_local):
+        # device position along the mesh axis -> slab origin
+        d = jax.lax.axis_index(axis_name)
+        z0 = d * Zl
 
-        # first-hit combine across slabs: gather and pick the smallest
-        # global m (march order); all devices compute the same result
-        parts = jax.lax.all_gather(
-            jnp.stack([m_hit, frac, g_s, g_t, g_z]), axis_name)  # (D,5,S,T)
-        m_all = jnp.where(parts[:, 0] < 0.0, jnp.inf, parts[:, 0])
-        winner = jnp.argmin(m_all, axis=0)                       # (S, T)
-        sel = jnp.take_along_axis(
-            parts, winner[None, None, :, :], axis=0)[0]          # (5, S, T)
-        m_hit, frac, g_s, g_t, g_z = sel
-        m_hit = jnp.where(jnp.isfinite(
-            jnp.take_along_axis(m_all, winner[None], axis=0)[0]),
-            m_hit, -1.0)
-        return m_hit[None], frac[None], g_s[None], g_t[None], g_z[None]
+        values_halo = _exchange_halo(values_local, d)
+        ao_halo = None
+        if use_ao:
+            ao_halo = _exchange_halo(ao_local, d)
+
+        m_hit, frac, g_s, g_t, g_z, sh_hit = _slab_sweep(
+            values_halo, jnp.float32(z0), Z, eye_p, M, flip, cfg, geom,
+            ao_halo=ao_halo)
+
+        # first-hit combine: slab m-ranges are disjoint, so the global
+        # minimum hit index is unique; pmin finds it and psum of the
+        # winner-masked payload broadcasts the winning slab's values.
+        # O(image) all-reduces only - nothing device-count-sized exists.
+        m_inf = jnp.where(m_hit < 0.0, jnp.inf, m_hit)
+        m_min = jax.lax.pmin(m_inf, axis_name)
+        win = (m_inf == m_min) & jnp.isfinite(m_min)
+        winf = win.astype(jnp.float32)
+        frac, g_s, g_t, g_z = [
+            jax.lax.psum(p * winf, axis_name)
+            for p in (frac, g_s, g_t, g_z)]
+        sh_hit = jax.lax.psum(sh_hit * winf[..., None], axis_name)
+        m_hit = jnp.where(jnp.isfinite(m_min), m_min, -1.0)
+        return m_hit, frac, g_s, g_t, g_z, sh_hit
 
     spec_in = P(None, None, axis_name)
-    # every device computes the identical combined result; expose it with a
-    # device-major leading axis and read replica 0 (avoids relying on
-    # shard_map's static replication inference through all_gather+select)
+    spec_ao = P(None, None, axis_name, None)
     values_sh = jax.device_put(values, NamedSharding(mesh, spec_in))
+    ao_sh_in = (jax.device_put(ao_field, NamedSharding(mesh, spec_ao))
+                if use_ao else
+                jax.device_put(jnp.zeros((1, 1, D), jnp.float32),
+                               NamedSharding(mesh, spec_in)))
     with mesh:
         outs = jax.jit(jax.shard_map(
-            shard_fn, mesh=mesh, in_specs=(spec_in,),
-            out_specs=P(axis_name)))(values_sh)
-    m_hit, frac, g_s, g_t, g_z = [o[0] for o in outs]
+            shard_fn, mesh=mesh,
+            in_specs=(spec_in, spec_ao if use_ao else spec_in),
+            out_specs=P()))(values_sh, ao_sh_in)
+    m_hit, frac, g_s, g_t, g_z, sh_hit = outs
     found = m_hit >= 0.0
 
     # post-processing: identical to the tail of `sweep._sweep_permuted`
@@ -286,7 +359,11 @@ def render_gbuffer_sweep_sharded(grid: BrickGrid, cam: CameraParams,
 
     hit_world = grid.voxel_to_world(hit_vox)
     flat_hit = found.reshape(-1)
-    ao = jnp.ones_like(flat_hit, jnp.float32)
+    if use_ao:
+        from isosurfacesuperresolution_tpu.render.ao_sweep import ao_from_sh
+        ao = ao_from_sh(sh_hit, normal_w).reshape(-1)
+    else:
+        ao = jnp.ones_like(flat_hit, jnp.float32)
     inter = shade_hits(hit_world.reshape(-1, 3), normal_w.reshape(-1, 3),
                        flat_hit, ao, cam, cam_flow, cfg, W, H
                        ).reshape(Sn, Tn, 12)

@@ -11,13 +11,45 @@ G-buffer contract (parity bounded by `tests/test_sweep.py`).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from isosurfacesuperresolution_tpu.config import RenderConfig
 from isosurfacesuperresolution_tpu.render.camera import CameraParams
 from isosurfacesuperresolution_tpu.render.raycast import render_gbuffer
 from isosurfacesuperresolution_tpu.render.sweep import render_gbuffer_sweep
 from isosurfacesuperresolution_tpu.volume.grid import BrickGrid
+
+
+def adaptive_sweep_cfg(cam: CameraParams, cfg: RenderConfig
+                       ) -> RenderConfig:
+    """View-adaptive intermediate-grid oversampling.
+
+    Obliquity of the view direction to the sweep axis (1/max|f_hat|, up
+    to sqrt(3) at an exact diagonal) smears the per-slice 2-tap resample;
+    scaling the intermediate grid by it restores silhouette accuracy
+    (mask IoU vs the march oracle 0.91 -> 0.97 at the diagonal,
+    tests/test_sweep.py).  Only possible with a CONCRETE camera - the
+    factor changes the compiled shapes - so traced-camera callers (the
+    fused interactive frame) are returned unchanged; the factor is
+    bucketed to 0.5 steps to bound the number of compiled variants."""
+    if not cfg.sweep_adaptive_oversample:
+        return cfg
+    eye, look = cam.eye, cam.look_at_pt
+    if isinstance(eye, jax.core.Tracer) or isinstance(look, jax.core.Tracer):
+        return cfg
+    f = np.asarray(look, np.float64) - np.asarray(eye, np.float64)
+    n = float(np.linalg.norm(f))
+    if n == 0.0:
+        return cfg
+    c = float(np.max(np.abs(f))) / n
+    ov = cfg.sweep_oversample + 2.7 * (1.0 / max(c, 1e-6) - 1.0)
+    ov = min(ov, cfg.sweep_max_oversample)
+    ov = float(np.ceil(ov / 0.5) * 0.5)
+    if ov <= cfg.sweep_oversample:
+        return cfg
+    return cfg.replace(sweep_oversample=ov)
 
 
 def render_frame_gbuffer(grid: BrickGrid, cam: CameraParams,
@@ -33,6 +65,7 @@ def render_frame_gbuffer(grid: BrickGrid, cam: CameraParams,
     if cfg.renderer in ("sweep", "sweep_pallas"):
         # "sweep_pallas" = same geometry with the Pallas march kernel
         # (render/sweep_pallas.py) for the slice scan
+        cfg = adaptive_sweep_cfg(cam, cfg)
         return render_gbuffer_sweep(grid, cam, cam_flow, cfg, rp)
     if cfg.renderer == "march":
         return render_gbuffer(grid, cam, cam_flow, cfg, rp)

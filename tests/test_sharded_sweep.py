@@ -96,3 +96,53 @@ def test_stretch_config5_8x_sr_multicamera_sharded():
     out, _ = net.apply(params, net_in)
     assert out.shape == (n_cam, 128, 128, 6)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_sharded_non_divisible_axis():
+    """Axis length 60 on an 8-mesh: slabs are zero-padded, result matches
+    the single-device sweep (the Z % D restriction is gone)."""
+    mesh = _mesh()
+    grid = analytic.blobs_volume(60, num_blobs=5)
+    cam = CameraParams.create((0.3, 0.8, -1.7))
+    cfg = RenderConfig(width=32, height=32, isovalue=0.5, ao_samples=0)
+    ref = np.asarray(render_gbuffer_sweep(grid, cam, cam, cfg))
+    got = np.asarray(render_gbuffer_sweep_sharded(grid, cam, cam, cfg,
+                                                  mesh))
+    assert np.mean(ref[..., 3] != got[..., 3]) < 0.01
+    both = (ref[..., 3] > 0.5) & (got[..., 3] > 0.5)
+    assert np.abs(ref[..., 7] - got[..., 7])[both].max() < 1e-3
+
+
+def test_sharded_baked_ao_matches_single_device():
+    """Baked-AO sharding: cfg.ao_samples > 0 + SH field sharded in slabs."""
+    from isosurfacesuperresolution_tpu.render.ao_sweep import attach_baked_ao
+    mesh = _mesh()
+    grid = analytic.blobs_volume(64, num_blobs=5)
+    grid = attach_baked_ao(grid, 0.5, 0.1)
+    cam = CameraParams.create((0.3, 0.8, -1.7))
+    cfg = RenderConfig(width=32, height=32, isovalue=0.5, ao_samples=64,
+                       ao_mode="volume")
+    ref = np.asarray(render_gbuffer_sweep(grid, cam, cam, cfg))
+    got = np.asarray(render_gbuffer_sweep_sharded(grid, cam, cam, cfg,
+                                                  mesh))
+    both = (ref[..., 3] > 0.5) & (got[..., 3] > 0.5)
+    assert both.sum() > 50
+    d_ao = np.abs(ref[..., 10] - got[..., 10])[both]
+    assert np.quantile(d_ao, 0.95) < 0.02, d_ao.max()
+
+
+def test_sharded_combine_has_no_all_gather(monkeypatch):
+    """Per-device memory must not scale with D: the first-hit combine is
+    pmin/psum (all-reduce), never an all_gather that would materialize a
+    (D, ...) buffer on every device."""
+    def no_gather(*a, **k):
+        raise AssertionError("all_gather used in sharded sweep combine")
+
+    monkeypatch.setattr(jax.lax, "all_gather", no_gather)
+    mesh = _mesh()
+    grid = analytic.sphere_volume(64)
+    cam = CameraParams.create((0.0, 0.9, -1.7))
+    cfg = RenderConfig(width=16, height=16, isovalue=0.5, ao_samples=0)
+    out = np.asarray(render_gbuffer_sweep_sharded(grid, cam, cam, cfg,
+                                                  mesh))
+    assert out[..., 3].max() == 1.0
