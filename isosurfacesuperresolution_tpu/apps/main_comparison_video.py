@@ -1,14 +1,23 @@
 """Scene-scripted comparison videos.
 
-Parity target: `mainComparisonVideo3.py` - drives scripted scenes (camera
-rotation, isovalue sweep, light sweep, material-color sweep, fov zoom,
-`:92-312`), renders ground truth + every model per frame, and writes one
-video (or PNG sequence) per model and channel.
+Parity targets:
+- `mainComparisonVideo3.py` - scripted scenes (camera rotation, isovalue
+  sweep, light sweep, material-color sweep, fov zoom, `:92-312`), one
+  video (or PNG sequence) per model and channel.
+- `mainComparisonVideo1.py` / `mainComparisonVideo2.py` - fixed scene
+  SETS (per-dataset isovalue/material/distance, `:28-79`) rendered as
+  labeled side-by-side model-comparison rotations (`--preset v1|v2`).
+  The reference's .vbx datasets are not shippable, so the presets map
+  each scene onto the analytic family that mimics it (clouds ->
+  turbulence, Ejecta -> ejecta, RM -> interface, ...) with the
+  reference's material colors.
 
 Usage:
   python -m isosurfacesuperresolution_tpu.apps.main_comparison_video \
       --volume analytic:blobs --script rotation --frames 48 \
       --models bilinear --output video_out
+  python -m isosurfacesuperresolution_tpu.apps.main_comparison_video \
+      --preset v1 --models bilinear runs/run00002 --output video_out
 """
 
 from __future__ import annotations
@@ -65,6 +74,114 @@ SCRIPTS: Dict[str, Callable] = {
 }
 
 
+# ---------------------------------------------------------------------------
+# fixed scene sets (parity: mainComparisonVideo1.py:28-79 /
+# mainComparisonVideo2.py) - colors are the reference's, 0-255 RGB
+# ---------------------------------------------------------------------------
+
+def _c(r, g, b):
+    return (r / 255.0, g / 255.0, b / 255.0)
+
+
+PRESETS: Dict[str, List[dict]] = {
+    "v1": [
+        {"name": "cloud-training", "volume": "analytic:blobs",
+         "isovalue": 0.5, "diffuse": _c(255, 76, 0),
+         "ambient": _c(25, 25, 25), "specular": _c(50, 50, 50),
+         "distance": 1.8},
+        {"name": "smoke-plume", "volume": "analytic:turbulence",
+         "isovalue": 0.46, "diffuse": _c(165, 184, 186),
+         "ambient": _c(25, 25, 25), "specular": _c(50, 50, 50),
+         "distance": 1.95},
+        {"name": "ejecta-test", "volume": "analytic:ejecta",
+         "isovalue": 0.40, "diffuse": _c(138, 129, 255),
+         "ambient": _c(0, 90, 15), "specular": _c(50, 50, 50),
+         "distance": 0.9},
+        {"name": "bonsai-test", "volume": "analytic:torus",
+         "isovalue": 0.5, "diffuse": _c(0, 173, 0),
+         "ambient": _c(76, 31, 31), "specular": _c(30, 30, 30),
+         "distance": 2.6},
+    ],
+    "v2": [
+        {"name": "rm-interface", "volume": "analytic:interface",
+         "isovalue": 0.5, "diffuse": _c(200, 180, 140),
+         "ambient": _c(25, 25, 25), "specular": _c(50, 50, 50),
+         "distance": 1.6},
+        {"name": "gyroid-shell", "volume": "analytic:gyroid",
+         "isovalue": 0.5, "diffuse": _c(120, 160, 255),
+         "ambient": _c(25, 25, 25), "specular": _c(50, 50, 50),
+         "distance": 1.7},
+        {"name": "ejecta-dense", "volume": "analytic:ejecta",
+         "isovalue": 0.35, "diffuse": _c(255, 255, 255),
+         "ambient": _c(10, 10, 40), "specular": _c(50, 50, 50),
+         "distance": 1.2},
+    ],
+}
+
+
+def _label(img: np.ndarray, text: str) -> np.ndarray:
+    """Burn a model label into the frame top-left (the reference uses PIL
+    fonts, `mainComparisonVideo1.py:152-`)."""
+    from PIL import Image, ImageDraw
+    im = Image.fromarray(img)
+    d = ImageDraw.Draw(im)
+    d.rectangle([2, 2, 8 + 7 * len(text), 18], fill=(0, 0, 0))
+    d.text((5, 4), text, fill=(255, 255, 255))
+    return np.asarray(im)
+
+
+def run_preset(args) -> None:
+    """Render each preset scene as ONE side-by-side labeled comparison
+    rotation over all requested models."""
+    import imageio
+
+    from isosurfacesuperresolution_tpu.apps.main_gui import Viewer
+    from isosurfacesuperresolution_tpu.apps.main_psnr_stats import load_volume
+    from isosurfacesuperresolution_tpu.infer.loadedmodel import LoadedModel
+
+    models = {os.path.basename(m.rstrip("/")): LoadedModel.from_run_dir(m)
+              for m in args.models
+              if m not in ("nearest", "bilinear", "bicubic", "gt")}
+    mode_list = [m if m in ("nearest", "bilinear", "bicubic", "gt")
+                 else os.path.basename(m.rstrip("/")) for m in args.models]
+
+    os.makedirs(args.output, exist_ok=True)
+    for scene in PRESETS[args.preset]:
+        grid, _ = load_volume(scene["volume"])
+        viewer = Viewer(grid, models, res_x=args.lowRes, res_y=args.lowRes,
+                        isovalue=scene["isovalue"])
+        # per-scene material (reference colors)
+        viewer.set_material(diffuse_color=scene["diffuse"],
+                            ambient_color=scene["ambient"],
+                            specular_color=scene["specular"])
+        frames = []
+        for i in range(args.frames):
+            ang = 2 * math.pi * i / args.frames
+            d = scene["distance"]
+            eye = (d * math.sin(ang), 0.9, -d * math.cos(ang))
+            row = []
+            for mode in mode_list:
+                viewer.set_mode(mode)
+                viewer.camera.current_distance, viewer.camera.current_pitch, \
+                    viewer.camera.current_yaw = viewer.camera.to_angles(eye)
+                rgb = np.asarray(viewer.render_frame())
+                img = (np.clip(rgb, 0, 1) * 255).astype(np.uint8)
+                row.append(_label(img, mode))
+            frames.append(np.concatenate(row, axis=1))
+        path = os.path.join(args.output,
+                            f"{args.preset}_{scene['name']}.mp4")
+        try:
+            imageio.mimwrite(path, frames, fps=args.fps)
+            print("wrote", path)
+        except Exception as e:
+            print(f"mp4 write failed ({e}); writing PNGs")
+            ddir = os.path.join(args.output,
+                                f"{args.preset}_{scene['name']}")
+            os.makedirs(ddir, exist_ok=True)
+            for i, fr in enumerate(frames):
+                imageio.imwrite(os.path.join(ddir, f"{i:04d}.png"), fr)
+
+
 def build_parser():
     p = argparse.ArgumentParser()
     p.add_argument("--volume", type=str, default="analytic:blobs")
@@ -78,6 +195,11 @@ def build_parser():
                    help="subset of color|mask|normal|depth|ao|flow")
     p.add_argument("--fps", type=int, default=24)
     p.add_argument("--output", type=str, default="video_out")
+    p.add_argument("--preset", type=str, default=None,
+                   choices=sorted(PRESETS),
+                   help="render a fixed scene SET as labeled side-by-side "
+                        "comparisons (mainComparisonVideo1/2 parity) "
+                        "instead of --volume/--script")
     p.add_argument("--pngs", action="store_true",
                    help="write PNG frames instead of mp4")
     return p
@@ -85,6 +207,9 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.preset:
+        run_preset(args)
+        return
 
     import imageio
 

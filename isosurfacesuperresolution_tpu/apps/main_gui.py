@@ -66,6 +66,7 @@ class Viewer:
         self.foc_blur_radius = 32
         self._frame_times = deque(maxlen=10)
         self._pipelines: Dict[str, object] = {}
+        self._extra_render_params: Dict[str, object] = {}
         self._last_cam = None
         self._prev_rgb = None
         self.last_frame_ms = 0.0
@@ -78,6 +79,16 @@ class Viewer:
         self.render_cfg = self.render_cfg.replace(isovalue=float(v))
         for p in self._pipelines.values():
             p.set_render_params(isovalue=float(v))
+        self.reset_temporal()
+
+    def set_material(self, **kw):
+        """Traced material/light knobs (diffuse_color, ambient_color,
+        specular_color, light_direction, ...): applied to every existing
+        pipeline and remembered for lazily created ones - no recompiles
+        (`setParameter` parity, GPURendererDirect.cpp:395-428)."""
+        self._extra_render_params.update(kw)
+        for p in self._pipelines.values():
+            p.set_render_params(**kw)
         self.reset_temporal()
 
     def set_shading(self, shading_cfg):
@@ -110,7 +121,8 @@ class Viewer:
                     render_cfg=self.render_cfg,
                     shading_cfg=self.shading_cfg)
                 self._pipelines[key].set_render_params(
-                    isovalue=self.render_cfg.isovalue)
+                    isovalue=self.render_cfg.isovalue,
+                    **self._extra_render_params)
             else:
                 from isosurfacesuperresolution_tpu.models.generators import (
                     create_network, network_input_channels)
@@ -126,7 +138,8 @@ class Viewer:
                     render_cfg=self.render_cfg, upscale_mode=mode,
                     shading_cfg=self.shading_cfg)
                 self._pipelines[key].set_render_params(
-                    isovalue=self.render_cfg.isovalue)
+                    isovalue=self.render_cfg.isovalue,
+                    **self._extra_render_params)
         return self._pipelines[key]
 
     def _render_params(self):

@@ -27,6 +27,12 @@ def build_parser():
                    help="analytic:<name>, .dat files, or .cvol.npz files")
     p.add_argument("--models", nargs="+", default=["bilinear"],
                    help="run dirs and/or nearest|bilinear|bicubic")
+    p.add_argument("--variants", nargs="+", default=[],
+                   help="named model variants 'name=spec[:notemporal]"
+                        "[:masked]' (mainPSNR4_ColoredNets.py parity): "
+                        "notemporal disables the frame recurrence, masked "
+                        "replaces the predicted silhouette with the "
+                        "upscaled input mask (and gates AO on it)")
     p.add_argument("--output", type=str, default="stats_out")
     p.add_argument("--numSequences", type=int, default=4)
     p.add_argument("--numFrames", type=int, default=10)
@@ -80,10 +86,29 @@ def main(argv=None):
                                        args.numSequences, seq_cfg,
                                        base_render_cfg=base, seed=args.seed)
 
+        # plain --models plus mainPSNR4-style named --variants
+        entries = []
+        for model_spec in args.models:
+            default_name = (model_spec
+                            if model_spec in ("nearest", "bilinear",
+                                              "bicubic")
+                            else os.path.basename(model_spec.rstrip("/")))
+            entries.append((default_name, model_spec, True, False))
+        for v in args.variants:
+            name, rest = v.split("=", 1)
+            parts = rest.split(":")
+            spec = parts[0]
+            flags = set(parts[1:])
+            unknown = flags - {"notemporal", "masked"}
+            if unknown:
+                raise SystemExit(f"unknown variant flags {unknown}")
+            entries.append((name, spec, "notemporal" not in flags,
+                            "masked" in flags))
+
         out_path = os.path.join(args.output, f"stats_{vol_name}.tsv")
         with open(out_path, "w") as f:
             f.write("Model\t" + Statistics.header())
-            for model_spec in args.models:
+            for name, model_spec, temporal, masked in entries:
                 loaded: Optional[LoadedModel] = None
                 if model_spec not in ("nearest", "bilinear", "bicubic"):
                     loaded = LoadedModel.from_run_dir(model_spec)
@@ -102,10 +127,20 @@ def main(argv=None):
                         else:
                             pred = clamp_output(
                                 loaded.inference(low, prev_high, flow))
-                            prev_high = pred
+                            if temporal:
+                                prev_high = pred
+                        if masked:
+                            # silhouette from the upscaled input; AO gated
+                            # toward 1 outside it (mainComparisonVideo3.py
+                            # :544-548, used by mainPSNR4's variants)
+                            base = resize(low[..., 0:1], scale=4.0,
+                                          method="bilinear") * 0.5 + 0.5
+                            pred = jnp.concatenate([
+                                base * 2.0 - 1.0,
+                                pred[..., 1:5],
+                                1.0 + base * (pred[..., 5:6] - 1.0),
+                            ], axis=-1)
                         stats.add_timestep_sample(pred, gt, low)
-                name = (model_spec if loaded is None
-                        else os.path.basename(model_spec.rstrip("/")))
                 f.write(name + "\t")
                 stats.write_sample(f)
                 np.savez(os.path.join(
