@@ -43,10 +43,6 @@ def main() -> None:
     print(f"devices: {jax.devices()}", file=sys.stderr)
 
     cfg = Config(model=ModelConfig(compute_dtype="bfloat16"))
-    render_cfg = RenderConfig(width=480, height=270, isovalue=0.5,
-                              ao_samples=0, renderer="sweep_pallas",
-                              sweep_oversample=1.25,
-                              sweep_dtype="bfloat16")
 
     model = create_network(cfg.model)
     cin = network_input_channels(cfg.model)
@@ -54,8 +50,6 @@ def main() -> None:
                         jnp.zeros((1, 8, 8, cin), jnp.float32))
 
     grid = analytic.blobs_volume(256, num_blobs=8)
-    state0 = initial_state(cfg, render_cfg)
-    fused = make_fused_frame(model, cfg, render_cfg, donate=False)
 
     def cam_at(ang):
         eye = jnp.stack([1.7 * jnp.sin(ang), jnp.float32(0.9),
@@ -65,35 +59,55 @@ def main() -> None:
 
     N = 20
 
-    @partial(jax.jit, static_argnums=(3,))
-    def run_frames(params, grid, ang0, n):
-        def body(carry, _):
-            ang, state = carry
-            cam = cam_at(ang)
-            cam_prev = cam_at(ang - 0.03)
-            rgb, fr, state = fused(params, grid, cam, cam_prev, state)
-            return (ang + 0.03, state), jnp.sum(rgb[::64, ::64])
-        (_, state), sums = jax.lax.scan(body, (ang0, state0), None, length=n)
-        return jnp.sum(sums)
+    def measure(render_cfg, grid, tag):
+        state0 = initial_state(cfg, render_cfg)
+        fused = make_fused_frame(model, cfg, render_cfg, donate=False)
 
-    t0 = time.time()
-    s = float(run_frames(params, grid, jnp.float32(0.0), N))
-    print(f"compile + first {N} frames: {time.time() - t0:.1f}s",
-          file=sys.stderr)
+        @partial(jax.jit, static_argnums=(3,))
+        def run_frames(params, grid, ang0, n):
+            def body(carry, _):
+                ang, state = carry
+                cam = cam_at(ang)
+                cam_prev = cam_at(ang - 0.03)
+                rgb, fr, state = fused(params, grid, cam, cam_prev, state)
+                return (ang + 0.03, state), jnp.sum(rgb[::64, ::64])
+            (_, state), sums = jax.lax.scan(body, (ang0, state0), None,
+                                            length=n)
+            return jnp.sum(sums)
 
-    times = []
-    for i in range(3):
         t0 = time.time()
-        s = float(run_frames(params, grid, jnp.float32(0.1 + i), N))
-        times.append((time.time() - t0) / N)
-    dt = min(times)
-    fps = 1.0 / dt
-    print(f"fused frame: {1000 * dt:.2f} ms -> {fps:.2f} FPS "
-          f"(runs: {[f'{1000 * t:.1f}' for t in times]} ms)", file=sys.stderr)
+        float(run_frames(params, grid, jnp.float32(0.0), N))
+        print(f"[{tag}] compile + first {N} frames: {time.time() - t0:.1f}s",
+              file=sys.stderr)
+        times = []
+        for i in range(3):
+            t0 = time.time()
+            float(run_frames(params, grid, jnp.float32(0.1 + i), N))
+            times.append((time.time() - t0) / N)
+        dt = min(times)
+        print(f"[{tag}] fused frame: {1000 * dt:.2f} ms -> "
+              f"{1.0 / dt:.2f} FPS "
+              f"(runs: {[f'{1000 * t:.1f}' for t in times]} ms)",
+              file=sys.stderr)
+        return 1.0 / dt
+
+    render_cfg = RenderConfig(width=480, height=270, isovalue=0.5,
+                              ao_samples=0, renderer="sweep_pallas",
+                              sweep_oversample=1.25,
+                              sweep_dtype="bfloat16")
+    fps = measure(render_cfg, grid, "no-AO")
+
+    # full reference G-buffer incl. ambient occlusion: baked SH field
+    # streamed through the Pallas march (render_kernel.cu:109-146 parity)
+    from isosurfacesuperresolution_tpu.render.ao_sweep import attach_baked_ao
+    grid_ao = attach_baked_ao(grid, 0.5, 0.1)
+    fps_ao = measure(render_cfg.replace(ao_samples=64, ao_mode="volume"),
+                     grid_ao, "AO")
 
     print(json.dumps({
         "metric": "fused 1080p 4x SR FPS (sweep raycast 480x270 + "
-                  "EnhanceNet bf16 + shade, chained in-graph)",
+                  "EnhanceNet bf16 + shade, chained in-graph; "
+                  f"with baked AO: {round(fps_ao, 1)} fps)",
         "value": round(fps, 3),
         "unit": "fps",
         "vs_baseline": round(fps / 30.0, 3),

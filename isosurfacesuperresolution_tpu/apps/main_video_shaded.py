@@ -91,7 +91,9 @@ def main(argv=None) -> None:
 
     for epoch in range(1, t.epochs + 1):
         lr = epoch_learning_rate(cfg, epoch - 1)
-        state.opt_state.hyperparams["learning_rate"] = jnp.asarray(lr)
+        from isosurfacesuperresolution_tpu.train.trainer import (
+            set_learning_rate)
+        set_learning_rate(state.opt_state, lr)
         t0 = time.time()
         epoch_loss, n = 0.0, 0
         for low, flow, high in train_set.batches(t.batch_size, rng=rng):

@@ -50,6 +50,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batchSize", type=int, default=16)
     p.add_argument("--epochs", type=int, default=10)
     p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--gradClip", type=float, default=1.0,
+                   help="global-norm gradient clip; 0 disables")
     p.add_argument("--lrGamma", type=float, default=0.5)
     p.add_argument("--lrStep", type=int, default=500)
     p.add_argument("--seed", type=int, default=42)
@@ -129,7 +131,7 @@ def make_config(args) -> "Config":
             num_frames=args.numFrames, samples=args.samples,
             test_fraction=args.testFraction, epochs=args.epochs,
             learning_rate=args.lr, lr_gamma=args.lrGamma,
-            lr_step=args.lrStep, seed=args.seed,
+            lr_step=args.lrStep, grad_clip=args.gradClip, seed=args.seed,
             initial_image_mode=args.initialImage,
             disable_temporal=args.disableTemporal, augment=args.augment,
             adv_training=args.advTraining, discr_lr=args.advDiscrLr,
@@ -354,9 +356,12 @@ def main(argv=None) -> None:
         start_epoch = epoch + 1
         print(f"restored epoch {epoch} from {args.restore}")
 
+    recent_losses: List[float] = []   # spike-guard window
     for epoch in range(start_epoch, t.epochs + 1):
         lr = epoch_learning_rate(cfg, epoch - 1)
-        state.opt_state.hyperparams["learning_rate"] = jax.numpy.asarray(lr)
+        from isosurfacesuperresolution_tpu.train.trainer import (
+            set_learning_rate)
+        set_learning_rate(state.opt_state, lr)
         t0 = time.time()
         epoch_loss, n_batches = 0.0, 0
         if device_data is not None:
@@ -379,14 +384,23 @@ def main(argv=None) -> None:
             else:
                 prev_state = state
                 state, loss = train_step(state, low, flow, high)
-                if not np.isfinite(float(loss)):
-                    # NaN guard (the reference's benchmarks scan for NaNs,
-                    # mainPSNR2_AllAngles.py:258-262; here a poisoned batch
-                    # is skipped and the update rolled back)
-                    print(f"WARNING: non-finite loss at epoch {epoch}, "
-                          f"batch {n_batches}; skipping batch")
+                lossf = float(loss)
+                if not np.isfinite(lossf) or (
+                        len(recent_losses) >= 20
+                        and lossf > 5.0 * np.median(recent_losses)):
+                    # NaN/spike guard (the reference's benchmarks scan for
+                    # NaNs, mainPSNR2_AllAngles.py:258-262; outlier batches
+                    # additionally destabilize training for many epochs,
+                    # so the update is rolled back)
+                    print(f"WARNING: loss {lossf:.3g} at epoch {epoch}, "
+                          f"batch {n_batches} (median "
+                          f"{np.median(recent_losses) if recent_losses else 0:.3g}); "
+                          f"skipping batch")
                     state = prev_state
                     continue
+                recent_losses.append(lossf)
+                if len(recent_losses) > 200:
+                    recent_losses.pop(0)
             epoch_loss += float(loss)
             n_batches += 1
         epoch_loss /= max(n_batches, 1) * t.num_frames

@@ -160,6 +160,10 @@ class ModelConfig:
     # reference's border semantics bit-for-bit); the fused inference
     # pipeline and bench turn it on.
     fused_upsample: bool = False
+    # planar engine: run post3 as two row-phase convs (2/3 the dense MACs,
+    # full-lane outputs) instead of one dense planar conv
+    # (infer/planar.planar_tail_conv_split)
+    planar_split_tail: bool = False
 
 
 # ---------------------------------------------------------------------------
@@ -269,6 +273,9 @@ class TrainConfig:
     lr_step: int = 500
     beta1: float = 0.9
     beta2: float = 0.999
+    # global-norm gradient clipping (0 = off): bounds the occasional
+    # outlier-batch spikes of the 10x-weighted masked losses
+    grad_clip: float = 1.0
     seed: int = 42
     initial_image_mode: str = "zero"   # zero | unshaded | input
     disable_temporal: bool = False

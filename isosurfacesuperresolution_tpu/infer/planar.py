@@ -151,7 +151,8 @@ def _phase_selector() -> np.ndarray:
 
 
 def planar_tail_conv(z: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
-                     dtype) -> jnp.ndarray:
+                     dtype, in_perm: "np.ndarray | None" = None
+                     ) -> jnp.ndarray:
     """conv3x3-after-shuffle as ONE dense planar conv, c-major in/out.
 
     z (..., H, W, 4*Cin) planar (c,a,b c-major); kernel (3,3,Cin,Cout).
@@ -165,8 +166,53 @@ def planar_tail_conv(z: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
     kc = jnp.einsum("muad,nvbe,decf->mncuvfab", T, T, kernel)
     cin, cout = kernel.shape[2], kernel.shape[3]
     kc = kc.reshape(3, 3, 4 * cin, 4 * cout)
+    if in_perm is not None:
+        # input arrives channel-permuted (e.g. from the split tail conv);
+        # re-index the kernel rows, never the activations
+        kc = kc[:, :, np.asarray(in_perm), :]
     bias4 = jnp.repeat(bias, 4)                    # c-major
     return _conv(z, kc, bias4, padding="SAME", dtype=dtype)
+
+
+def planar_tail_conv_split(z: jnp.ndarray, kernel: jnp.ndarray,
+                           bias: jnp.ndarray, dtype
+                           ) -> Tuple[jnp.ndarray, np.ndarray]:
+    """conv3x3-after-shuffle as TWO row-phase convs at 2/3 the dense MACs.
+
+    The dense composed kernel of `planar_tail_conv` is 3/4 structural
+    zeros; splitting outputs by ROW sub-pixel a removes the all-zero
+    kernel row of each half (output a only receives low-res row offsets
+    {a-1, a}), giving two (2, 3, 4Cin, 2Cout) convs - 2.67x the minimal
+    MACs instead of 4x, with full-128-lane outputs (the earlier
+    four-way (2,2,4Cin,Cout) split lost its savings to half-empty output
+    lanes, PERF.md).
+
+    Returns ``(out, order)`` where ``out`` channels are [a=0 block,
+    a=1 block] (each c-major over (c, b)) and ``order[j]`` is the c-major
+    channel held at ``out`` position j: fold it into the CONSUMER's
+    input-channel indexing (`planar_tail_conv(..., in_perm=order)`)
+    instead of gathering activations."""
+    T = jnp.asarray(_phase_selector())
+    kc = jnp.einsum("muad,nvbe,decf->mncuvfab", T, T, kernel)
+    cin, cout = kernel.shape[2], kernel.shape[3]
+    kc = kc.reshape(3, 3, 4 * cin, 4 * cout)
+    bias4 = jnp.repeat(bias, 4)
+
+    # c-major output channel index = c*4 + a*2 + b
+    ch = np.arange(4 * cout)
+    cols_a = [np.nonzero((ch % 4) // 2 == a)[0] for a in (0, 1)]
+    outs = []
+    for a, (rows, pad_h) in enumerate((( (0, 2), (1, 0)),
+                                       ((1, 3), (0, 1)))):
+        ka = kc[rows[0]:rows[1]][:, :, :, cols_a[a]]     # (2,3,4Cin,2Cout)
+        y = jax.lax.conv_general_dilated(
+            z.astype(dtype), ka.astype(dtype), (1, 1),
+            [pad_h, (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        outs.append(y + bias4[cols_a[a]].astype(dtype))
+    out = jnp.concatenate(outs, axis=-1)
+    order = np.concatenate(cols_a)                  # out position -> c-major
+    return out, order
 
 
 # ---------------------------------------------------------------------------
@@ -215,10 +261,20 @@ def planar_apply(params: Dict, cfg: ModelConfig, net_in: jnp.ndarray
     b2 = up2x_conv_bias(p["post2"]["bias"])
     z = jax.nn.relu(_edge_conv(z, k2, b2, dtype=dtype))
 
-    # post3 + out: dense planar convs, c-major in/out, no interleaves
-    z = jax.nn.relu(planar_tail_conv(z, p["post3"]["kernel"],
-                                     p["post3"]["bias"], dtype))
-    z = planar_tail_conv(z, p["out"]["kernel"], p["out"]["bias"], dtype)
+    # post3 + out: planar convs, c-major in/out, no interleaves.  The
+    # split formulation does post3 at 2/3 the dense MACs with full-lane
+    # outputs; its channel order folds into the out conv's kernel rows.
+    if getattr(cfg, "planar_split_tail", False):
+        z, order = planar_tail_conv_split(z, p["post3"]["kernel"],
+                                          p["post3"]["bias"], dtype)
+        z = jax.nn.relu(z)
+        z = planar_tail_conv(z, p["out"]["kernel"], p["out"]["bias"],
+                             dtype, in_perm=order)
+    else:
+        z = jax.nn.relu(planar_tail_conv(z, p["post3"]["kernel"],
+                                         p["post3"]["bias"], dtype))
+        z = planar_tail_conv(z, p["out"]["kernel"], p["out"]["bias"],
+                             dtype)
     z = z.astype(jnp.float32)                      # (2h, 2w, 24) c-major
 
     # un-shuffle once: c-major 540p planar -> NESTED 270p planar (c-blocks

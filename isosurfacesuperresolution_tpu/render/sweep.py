@@ -207,9 +207,10 @@ def _sweep_permuted(values: jnp.ndarray,      # (X, Y, Z) permuted volume
     # carry buffers cross the scan boundary K times; unrolling keeps them
     # in registers/VMEM between unrolled steps, dividing the HBM carry
     # traffic (the sweep's dominant cost) by the unroll factor
-    if cfg.renderer == "sweep_pallas" and not use_volume_ao:
+    if cfg.renderer == "sweep_pallas":
         # same march as the scan below, but as one Pallas kernel with the
-        # hit state resident in VMEM (render/sweep_pallas.py)
+        # hit state resident in VMEM (render/sweep_pallas.py); baked-AO
+        # SH slabs stream through the same kernel when requested
         from isosurfacesuperresolution_tpu.render.sweep_pallas import (
             march_pallas)
         ms = jnp.arange(K, dtype=jnp.float32)
@@ -221,10 +222,15 @@ def _sweep_permuted(values: jnp.ndarray,      # (X, Y, Z) permuted volume
              jnp.full_like(zcs, eye_p[0]),
              jnp.full_like(zcs, eye_p[1])], axis=1)
         vol_zxy = jnp.transpose(values, (2, 0, 1))
-        m_hit, frac, g_s, g_t, g_z = march_pallas(
+        ao_zcxy = (jnp.transpose(ao_field, (2, 3, 0, 1))
+                   if use_volume_ao else None)
+        res = march_pallas(
             vol_zxy, meta, s_grid, t_grid, Sn, Tn, dtype=mm_dtype,
-            scale=grid.value_scale, offset=grid.value_offset)
-        sh_hit = zero4
+            scale=grid.value_scale, offset=grid.value_offset,
+            ao_zcxy=ao_zcxy)
+        m_hit, frac, g_s, g_t, g_z = res[:5]
+        sh_hit = (jnp.transpose(res[5], (1, 2, 0)) if use_volume_ao
+                  else zero4)
     else:
         init = (zero - 1.0, zero, zero, zero, zero, zero)
         if use_volume_ao:

@@ -64,8 +64,27 @@ def clamp_output(prediction: jnp.ndarray) -> jnp.ndarray:
 
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     t = cfg.train
-    return optax.inject_hyperparams(optax.adam)(
+    adam = optax.inject_hyperparams(optax.adam)(
         learning_rate=t.learning_rate, b1=t.beta1, b2=t.beta2)
+    if getattr(t, "grad_clip", 0.0) and t.grad_clip > 0:
+        # outlier batches (silhouette-heavy crops under the 10x-weighted
+        # masked normal loss) occasionally produce gradient spikes that
+        # undo many epochs; global-norm clipping bounds them.  The
+        # reference has no equivalent guard - its long runs ride the
+        # spikes out over 1000 epochs.
+        return optax.chain(optax.clip_by_global_norm(t.grad_clip), adam)
+    return adam
+
+
+def set_learning_rate(opt_state, lr) -> None:
+    """In-place lr update that works for the plain injected optimizer and
+    the clip+adam chain (whose state is a tuple)."""
+    states = opt_state if isinstance(opt_state, tuple) else (opt_state,)
+    for s in states:
+        if hasattr(s, "hyperparams"):
+            s.hyperparams["learning_rate"] = jnp.asarray(lr)
+            return
+    raise ValueError("no hyperparams found in optimizer state")
 
 
 def epoch_learning_rate(cfg: Config, epoch: int) -> float:

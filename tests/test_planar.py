@@ -182,3 +182,26 @@ def test_planar_rgb_to_planes_matches_pixel_shuffle():
     planes = planar_rgb_to_planes(x)                       # (2,3,20,28)
     np.testing.assert_allclose(np.asarray(planes),
                                np.asarray(hwc).transpose(0, 3, 1, 2))
+
+
+def test_planar_split_tail_matches_dense():
+    """post3 as two row-phase convs (planar_tail_conv_split) must equal
+    the dense planar conv bit-for-fp-bit; the channel reorder is folded
+    into the out conv's kernel rows."""
+    import dataclasses
+
+    from isosurfacesuperresolution_tpu.config import ModelConfig
+    from isosurfacesuperresolution_tpu.infer.planar import planar_apply
+    from isosurfacesuperresolution_tpu.models.generators import (
+        create_network, network_input_channels)
+
+    cfg = ModelConfig(num_residual_blocks=2, compute_dtype="float32")
+    model = create_network(cfg)
+    cin = network_input_channels(cfg)
+    rng = np.random.RandomState(0)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, cin)))
+    x = jnp.asarray(rng.rand(1, 12, 12, cin).astype(np.float32))
+    a = np.asarray(planar_apply(params, cfg, x))
+    b = np.asarray(planar_apply(
+        params, dataclasses.replace(cfg, planar_split_tail=True), x))
+    np.testing.assert_allclose(a, b, atol=2e-6)
