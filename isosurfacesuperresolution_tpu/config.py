@@ -70,6 +70,10 @@ class RenderConfig:
     # oracle 0.91 -> 0.97.
     sweep_adaptive_oversample: bool = True
     sweep_max_oversample: float = 3.5
+    # occupancy-gated tiled Pallas march (render/sweep_pallas_tiled.py)
+    # for large sparse volumes: 0 = auto (tile when the permuted slice
+    # plane reaches 512 on an axis), -1 = never, >0 = forced tile size
+    sweep_tile: int = 0
     # dtype of the per-slice resample matmuls (accumulation is always f32).
     # bfloat16 doubles the MXU rate of the sweep's dominant cost; the
     # density quantization (~3e-3 relative) is below the isosurface

@@ -224,13 +224,30 @@ def _sweep_permuted(values: jnp.ndarray,      # (X, Y, Z) permuted volume
         vol_zxy = jnp.transpose(values, (2, 0, 1))
         ao_zcxy = (jnp.transpose(ao_field, (2, 3, 0, 1))
                    if use_volume_ao else None)
-        res = march_pallas(
-            vol_zxy, meta, s_grid, t_grid, Sn, Tn, dtype=mm_dtype,
-            scale=grid.value_scale, offset=grid.value_offset,
-            ao_zcxy=ao_zcxy)
-        m_hit, frac, g_s, g_t, g_z = res[:5]
-        sh_hit = (jnp.transpose(res[5], (1, 2, 0)) if use_volume_ao
-                  else zero4)
+        tile = cfg.sweep_tile
+        use_tiled = (not use_volume_ao) and (
+            tile > 0 or (tile == 0 and max(X, Y) >= 512))
+        if use_tiled:
+            # large-volume path: occupancy-gated 2D-tiled streaming -
+            # DMA and resample FLOPs scale with the occupied fraction
+            from isosurfacesuperresolution_tpu.render.sweep_pallas_tiled \
+                import march_pallas_tiled
+            brick_max_p = jnp.transpose(grid.brick_max, perm)
+            m_hit, frac, g_s, g_t, g_z = march_pallas_tiled(
+                vol_zxy, meta, s_grid, t_grid, Sn, Tn, brick_max_p,
+                grid.brick_size, iso,
+                tile=(tile if tile > 0 else 256),
+                dtype=mm_dtype,
+                scale=grid.value_scale, offset=grid.value_offset)
+            sh_hit = zero4
+        else:
+            res = march_pallas(
+                vol_zxy, meta, s_grid, t_grid, Sn, Tn, dtype=mm_dtype,
+                scale=grid.value_scale, offset=grid.value_offset,
+                ao_zcxy=ao_zcxy)
+            m_hit, frac, g_s, g_t, g_z = res[:5]
+            sh_hit = (jnp.transpose(res[5], (1, 2, 0)) if use_volume_ao
+                      else zero4)
     else:
         init = (zero - 1.0, zero, zero, zero, zero, zero)
         if use_volume_ao:
