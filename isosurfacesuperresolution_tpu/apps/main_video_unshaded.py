@@ -103,6 +103,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--hostData", action="store_true",
                    help="force host-side batching (default: device-resident"
                         " dataset when it fits)")
+    p.add_argument("--volumeDtype", type=str, default="float32",
+                   choices=["float32", "bfloat16", "uint8"],
+                   help="HBM storage dtype of imported volumes (uint8 = "
+                        "quarter footprint; RAW UCHAR stays bit-exact)")
     p.add_argument("--cacheDataset", type=str, default=None,
                    help="directory to cache generated clips (reference npy "
                         "layout); reused on the next run")
@@ -235,7 +239,7 @@ def load_sequences(args, cfg):
                                   base_render_cfg=base, seed=args.seed)
     if spec.endswith((".dat", ".raw")):
         from isosurfacesuperresolution_tpu.volume.importers import import_raw
-        grid = import_raw(spec)
+        grid = import_raw(spec, store_dtype=args.volumeDtype)
         seq_cfg = SequenceConfig(
             num_frames=args.numFrames,
             high_res=args.cropSize * args.upscaleFactor * 4,
