@@ -24,13 +24,32 @@ from isosurfacesuperresolution_tpu.config import ModelConfig
 from isosurfacesuperresolution_tpu.ops.resize import pixel_shuffle, resize
 
 
-def _orthogonal_relu_init():
-    """Orthogonal init with the ReLU gain sqrt(2).
+def _orthogonal_relu_init(scale: float = 1.0):
+    """Orthogonal init with the ReLU gain sqrt(2), times ``scale``.
 
     Parity: `enhancenet.py:127-133` (`torch.nn.init.orthogonal_` with
     `calculate_gain('relu')`).
     """
-    return nn.initializers.orthogonal(scale=jnp.sqrt(2.0))
+    import math
+    return nn.initializers.orthogonal(scale=scale * math.sqrt(2.0))
+
+
+def _branch_scale(num_blocks: int) -> float:
+    """Init scale for the SECOND conv of each residual block.
+
+    The reference initializes both block convs at the full ReLU gain
+    (`enhancenet.py:127-133`); with ``N`` unnormalized additive skips the
+    trunk variance then grows ~2x per block (measured: activation std
+    0.17 -> 29 over 10 blocks at init).  Early training resolves the
+    explosion by driving the first post-upsample ReLU 99.95% dead, which
+    zeroes the interior residual AND every upstream gradient - the run
+    freezes at the bilinear identity (the round-1/2 quality plateau).
+    Scaling the branch output conv by 1/sqrt(N) keeps trunk variance
+    growth bounded by (1 + 1/N)^N < e, so the post-block stays in its
+    active regime and gradients reach the trunk throughout training.
+    """
+    import math
+    return 1.0 / math.sqrt(max(num_blocks, 1))
 
 
 def _recon_image(inputs: jnp.ndarray, outputs: jnp.ndarray,
@@ -142,7 +161,8 @@ class EnhanceNet(nn.Module):
                                  dtype=dtype, name=f"block{i}_bn1")(y)
             y = nn.relu(y)
             y = nn.Conv(cfg.num_features, (3, 3), padding=1, dtype=dtype,
-                        kernel_init=_orthogonal_relu_init(),
+                        kernel_init=_orthogonal_relu_init(
+                            _branch_scale(cfg.num_residual_blocks)),
                         name=f"block{i}_conv2")(y)
             if cfg.use_bn:
                 y = nn.BatchNorm(use_running_average=not train,
@@ -285,6 +305,9 @@ class TecoGAN(nn.Module):
                         name=f"block{i}_conv1")(feat)
             y = nn.leaky_relu(y)
             y = nn.Conv(c, (3, 3), padding=1, dtype=dtype,
+                        kernel_init=nn.initializers.variance_scaling(
+                            _branch_scale(cfg.num_residual_blocks) ** 2,
+                            "fan_in", "truncated_normal"),
                         name=f"block{i}_conv2")(y)
             feat = feat + y
         y = nn.ConvTranspose(c, (3, 3), strides=(2, 2), dtype=dtype,

@@ -254,3 +254,85 @@ def test_training_learns_beyond_identity():
     assert np.isfinite(losses).all()
     assert losses[-1] < 0.55 * float(loss_identity), (
         float(loss_identity), losses[-1])
+
+
+def test_trunk_variance_bounded_at_full_depth():
+    """Regression test for the round-2 quality plateau: at the reference
+    depth (10 unnormalized residual blocks) the trunk's activation variance
+    at init must stay bounded.  With the reference's full-gain orthogonal
+    init on both block convs the std grew ~180x over the trunk (0.17 -> 29),
+    and early training resolved the explosion by driving the first
+    post-upsample ReLU 99.95% dead - zero interior residual, zero trunk
+    gradient, training frozen at the bilinear identity.  The 1/sqrt(N)
+    branch-conv scaling keeps growth < e."""
+    from isosurfacesuperresolution_tpu.models.generators import (
+        network_input_channels)
+    cfg = ModelConfig(num_residual_blocks=10, num_features=64)
+    model = create_network(cfg)
+    cin = network_input_channels(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, cin)) * 0.3
+    params = model.init(jax.random.PRNGKey(0), x)
+    _, state = model.apply(params, x, capture_intermediates=True,
+                           mutable=["intermediates"])
+    inter = state["intermediates"]
+    pre_std = float(jnp.std(inter["pre"]["__call__"][0]))
+    stds = {k: float(jnp.std(v["__call__"][0]))
+            for k, v in inter.items() if k.startswith("block")}
+    worst = max(stds.values())
+    assert worst < 6.0 * pre_std, (pre_std, stds)
+    # and the post-upsample gates are alive
+    for gate in ("post1", "post2", "post3"):
+        frac = float(jnp.mean(inter[gate]["__call__"][0] > 0))
+        assert frac > 0.05, (gate, frac)
+
+
+def test_training_learns_beyond_identity_at_full_depth():
+    """The escape-the-bilinear-fixed-point test at the REAL trunk depth
+    (10 blocks): a high-frequency detail target that upsampling cannot
+    express must be learnable.  The 2-block variant above stayed green
+    while the 10-block production config was frozen - depth is the
+    variable that triggers the explosion."""
+    cfg = Config(
+        model=ModelConfig(num_residual_blocks=10, num_features=32),
+        loss=LossConfig(padding=2,
+                        losses="l1:mask:1,l1:normal:10,l1:depth:10,l1:ao:1"),
+        train=TrainConfig(batch_size=4, crop_size=8, num_frames=1,
+                          learning_rate=2e-3, grad_clip=1.0),
+    )
+    rng = np.random.RandomState(0)
+    low = rng.rand(4, 1, 8, 8, 5).astype(np.float32)
+    low[..., 0] = 1.0                  # fully inside the mask
+    flow = np.zeros((4, 1, 8, 8, 2), np.float32)
+    up = np.repeat(np.repeat(low, 4, axis=2), 4, axis=3)
+    high = np.zeros((4, 1, 32, 32, 6), np.float32)
+    high[..., 0] = 1.0
+    # high-frequency checkerboard detail on normal/depth that no
+    # upsample-of-low can express
+    yy, xx = np.meshgrid(np.arange(32), np.arange(32), indexing="ij")
+    checker = ((xx + yy) % 2).astype(np.float32) * 0.2
+    high[..., 1] = up[..., 1] + checker
+    high[..., 2] = up[..., 2] - checker
+    high[..., 3] = up[..., 3]
+    high[..., 4] = np.clip(up[..., 4] + 0.5 * checker, 0, 1)
+    high[..., 5] = 1.0
+
+    model = create_network(cfg.model)
+    crit = LossNetUnshaded(cfg.loss, high_res=32)
+    opt = make_optimizer(cfg)
+    state = create_train_state(cfg, model, crit, opt, jax.random.PRNGKey(0))
+    step = make_train_step(cfg, model, crit, opt)
+    low, flow, high = jnp.asarray(low), jnp.asarray(flow), jnp.asarray(high)
+
+    _, loss_first = step(state, low, flow, high)
+    losses = []
+    for _ in range(300):
+        state, loss = step(state, low, flow, high)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    # the identity/bilinear point cannot remove the checkerboard; training
+    # must cut the loss well below wherever it started AND keep moving
+    # (the frozen-trunk failure mode plateaus to 4 decimals)
+    assert losses[-1] < 0.5 * float(loss_first), (float(loss_first),
+                                                  losses[-1])
+    assert np.mean(losses[-50:]) < 0.9 * np.mean(losses[:50]), (
+        np.mean(losses[:50]), np.mean(losses[-50:]))
