@@ -3,12 +3,16 @@
 Parity targets: the reference's converter tooling - `-m convert` of
 `CPURenderer.cpp:357-407` (.dat -> .vdb) / `GPURenderer.cpp:406-448` and
 `DataGenerator/ConvertVDBtoVBX.py` (.vdb -> .vbx).  Here the native brick
-format is ``.cvol.npz`` (`volume/importers.py`), and conversion reads
-.dat/RAW (native C++ fast path) or dense .npy.
+format is ``.cvol.npz`` (`volume/importers.py`); conversion reads
+.dat/RAW (native C++ fast path), dense .npy, or .vdb (native from-spec
+decoder, `native/vdbio.cpp`), and can write .vdb (`volume/vdb_write.py`)
+- the .dat -> .vdb direction is exactly CPURenderer's `-m convert`.
 
 Usage:
   python -m isosurfacesuperresolution_tpu.apps.convert_volume \
       input.dat output.cvol.npz --downsample 2 --threshold 0.001
+  python -m isosurfacesuperresolution_tpu.apps.convert_volume \
+      input.dat output.vdb
 """
 
 from __future__ import annotations
@@ -18,8 +22,9 @@ import argparse
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("input", help=".dat descriptor or .npy dense volume")
-    p.add_argument("output", help="output .cvol.npz path")
+    p.add_argument("input", help=".dat descriptor, .npy dense volume, "
+                   "or .vdb")
+    p.add_argument("output", help="output .cvol.npz or .vdb path")
     p.add_argument("--downsample", type=int, default=1)
     p.add_argument("--threshold", type=float, default=0.001,
                    help="zero values below this (sparsification)")
@@ -37,11 +42,26 @@ def main(argv=None):
         grid = import_raw(args.input, downsampling=args.downsample,
                           lower_threshold=args.threshold,
                           brick_size=args.brickSize)
+    elif args.input.endswith(".vdb"):
+        from isosurfacesuperresolution_tpu.volume.vdb import load_vdb
+        grid, name = load_vdb(args.input, brick_size=args.brickSize)
+        print(f"read grid {name!r} from {args.input}")
+        if args.downsample > 1:
+            raise SystemExit("--downsample only supported for .dat input")
     else:
         grid = import_npy(args.input, brick_size=args.brickSize,
                           lower_threshold=args.threshold)
         if args.downsample > 1:
             raise SystemExit("--downsample only supported for .dat input")
+
+    if args.output.endswith(".vdb"):
+        import numpy as np
+
+        from isosurfacesuperresolution_tpu.volume.vdb_write import write_vdb
+        dense = np.asarray(grid.dequant(grid.values))
+        write_vdb(args.output, dense, grid_name="density")
+        print(f"wrote {args.output}: resolution {grid.resolution}")
+        return
 
     if args.bakeAO:
         from isosurfacesuperresolution_tpu.render.ao_sweep import (

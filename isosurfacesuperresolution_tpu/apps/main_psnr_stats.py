@@ -56,6 +56,13 @@ def load_volume(spec: str):
         return import_raw(spec), os.path.basename(spec)[:-4]
     if spec.endswith(".npz"):
         return load_cvol(spec), os.path.basename(spec).split(".")[0]
+    if spec.endswith(".npy"):
+        from isosurfacesuperresolution_tpu.volume.importers import import_npy
+        return import_npy(spec), os.path.basename(spec)[:-4]
+    if spec.endswith(".vdb"):
+        from isosurfacesuperresolution_tpu.volume.vdb import load_vdb
+        grid, _ = load_vdb(spec)
+        return grid, os.path.basename(spec)[:-4]
     raise SystemExit(f"unknown volume spec {spec}")
 
 

@@ -1,7 +1,8 @@
-"""Build the native volume-IO extension.
+"""Build the native extensions.
 
 Usage: ``python -m isosurfacesuperresolution_tpu.native.build``
-Produces ``_volumeio.so`` next to this file (g++ -O3 -fopenmp shared lib,
+Produces ``_volumeio.so`` (raw volume decode, OpenMP) and ``_vdbio.so``
+(OpenVDB file-format decode, zlib) next to this file (g++ shared libs
 consumed through ctypes - no pybind11 in this image).
 """
 
@@ -14,25 +15,42 @@ import sys
 HERE = os.path.dirname(os.path.abspath(__file__))
 SRC = os.path.join(HERE, "volumeio.cpp")
 OUT = os.path.join(HERE, "_volumeio.so")
+VDB_SRC = os.path.join(HERE, "vdbio.cpp")
+VDB_OUT = os.path.join(HERE, "_vdbio.so")
 
 
-def build(verbose: bool = True) -> str:
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-fopenmp",
-           "-std=c++17", SRC, "-o", OUT]
+def _compile(src: str, out: str, extra, verbose: bool) -> str:
+    cmd = (["g++", "-O3", "-march=native", "-shared", "-fPIC",
+            "-std=c++17", src, "-o", out] + list(extra))
     if verbose:
         print(" ".join(cmd))
     subprocess.run(cmd, check=True)
+    return out
+
+
+def build(verbose: bool = True) -> str:
+    _compile(SRC, OUT, ["-fopenmp"], verbose)
+    _compile(VDB_SRC, VDB_OUT, ["-lz"], verbose)
     return OUT
+
+
+def _ensure(src: str, out: str, extra) -> str:
+    if (not os.path.exists(out)
+            or os.path.getmtime(out) < os.path.getmtime(src)):
+        _compile(src, out, extra, verbose=False)
+    return out
 
 
 def ensure_built() -> str:
-    """Build if missing or stale; returns the .so path."""
-    if (not os.path.exists(OUT)
-            or os.path.getmtime(OUT) < os.path.getmtime(SRC)):
-        build(verbose=False)
-    return OUT
+    """Build the raw-volume library if missing/stale; returns the path."""
+    return _ensure(SRC, OUT, ["-fopenmp"])
+
+
+def ensure_vdb_built() -> str:
+    """Build the .vdb decode library if missing/stale; returns the path."""
+    return _ensure(VDB_SRC, VDB_OUT, ["-lz"])
 
 
 if __name__ == "__main__":
     build()
-    print("built", OUT)
+    print("built", OUT, "and", VDB_OUT)

@@ -8,11 +8,12 @@ equivalent: it uses the OpenVDB Python bindings when present and converts
 the grid into this framework's dense `BrickGrid` (normalized to the unit
 box, like `CPURenderer.cpp:448-460`).
 
-The bindings are not part of this image's frozen environment; without them
-`load_vdb` raises with conversion guidance (`.vdb -> .npy/.cvol` offline via
-the same bindings, or the reference's own tooling).  Everything downstream
-consumes the converted `BrickGrid`, so the renderer/training stack is
-format-agnostic.
+Unlike the reference, this framework additionally ships a native from-spec
+decoder (`native/vdbio.cpp`: float 5-4-3 trees, none/zlib payloads) so
+`.vdb` ingestion works even without the bindings, which are absent from
+this image's frozen environment.  `load_vdb` tries the native path first
+and falls back to the bindings.  Everything downstream consumes the
+converted `BrickGrid`, so the renderer/training stack is format-agnostic.
 """
 
 from __future__ import annotations
@@ -54,8 +55,46 @@ def load_vdb(path: str, grid_name: Optional[str] = None,
     transform is discarded and the volume normalized to the unit box -
     the reference does the same on load (`CPURenderer.cpp:448-460`:
     `gridTransform = normalize to [0,1]^3`).
+
+    Decode order: the native from-spec reader (`native/vdbio.cpp`,
+    float 5-4-3 grids, none/zip payloads - the reference's own ingestion
+    always links the OpenVDB library instead), then the OpenVDB Python
+    bindings if installed.
     """
-    vdb = _import_openvdb()
+    try:
+        return _load_vdb_native(path, grid_name, brick_size, max_resolution)
+    except OSError as native_err:
+        try:
+            vdb = _import_openvdb()
+        except ImportError:
+            raise OSError(
+                f"native .vdb decode failed ({native_err}) and the OpenVDB "
+                "python bindings are not installed") from native_err
+    return _load_vdb_bindings(vdb, path, grid_name, brick_size,
+                              max_resolution)
+
+
+def _load_vdb_native(path: str, grid_name, brick_size: int,
+                     max_resolution: int) -> Tuple[BrickGrid, str]:
+    from isosurfacesuperresolution_tpu.native import vdbio
+    names = vdbio.grid_names(path)
+    if not names:
+        raise OSError(f"no grids in {path}")
+    name = grid_name if grid_name is not None else names[0]
+    if name not in names:
+        raise ValueError(f"grid {name!r} not in {path} (has {names})")
+    bbox, _ = vdbio.probe(path, name)
+    shape = tuple(bbox[3 + i] - bbox[i] + 1 for i in range(3))
+    if max(shape) > max_resolution:
+        raise ValueError(
+            f"{path}:{name} active bbox {shape} exceeds max_resolution="
+            f"{max_resolution}; downsample offline first")
+    arr, _ = vdbio.load(path, name)
+    return BrickGrid.from_dense(arr, brick_size=brick_size), name
+
+
+def _load_vdb_bindings(vdb, path: str, grid_name, brick_size: int,
+                       max_resolution: int) -> Tuple[BrickGrid, str]:
     metas = vdb.readAllGridMetadata(path)
     if not metas:
         raise ValueError(f"no grids in {path}")

@@ -120,22 +120,11 @@ def test_cvol_roundtrip(tmp_path):
     assert g2.brick_size == grid.brick_size
 
 
-def test_vdb_loader_guidance_without_bindings():
-    """Without OpenVDB python bindings, load_vdb must raise ImportError
-    with offline-conversion guidance (parity note: the reference links
-    OpenVDB rather than parsing .vdb itself)."""
+def test_vdb_loader_error_without_file():
+    """load_vdb tries the native from-spec decoder first; a missing file
+    must surface a clear OSError naming the native failure (and, absent
+    OpenVDB python bindings, saying so) rather than crashing opaquely."""
     import pytest
     from isosurfacesuperresolution_tpu.volume.vdb import load_vdb
-    try:
-        import openvdb  # noqa: F401
-        has = True
-    except ImportError:
-        try:
-            import pyopenvdb  # noqa: F401
-            has = True
-        except ImportError:
-            has = False
-    if has:
-        pytest.skip("bindings present; loader exercised elsewhere")
-    with pytest.raises(ImportError, match="convert offline|Convert offline"):
+    with pytest.raises(OSError, match="native .vdb decode failed|No such"):
         load_vdb("/nonexistent.vdb")
