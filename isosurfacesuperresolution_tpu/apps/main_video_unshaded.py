@@ -92,6 +92,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--restore", type=str, default=None,
                    help="run dir to restore from")
     p.add_argument("--restoreEpoch", type=int, default=None)
+    p.add_argument("--pretrained", type=str, default=None,
+                   help="run dir or params .npz: initialize the GENERATOR "
+                        "only, optimizers/discriminator fresh (the "
+                        "stage-2 adversarial handoff; reference "
+                        "--pretrained)")
     p.add_argument("--checkpointEvery", type=int, default=1)
     # parallel
     p.add_argument("--dataParallel", type=int, default=1,
@@ -359,6 +364,23 @@ def main(argv=None) -> None:
         state, epoch = restore_mgr.restore(state, args.restoreEpoch)
         start_epoch = epoch + 1
         print(f"restored epoch {epoch} from {args.restore}")
+    elif args.pretrained:
+        # generator weights only; optimizer/discriminator start fresh
+        # (reference --pretrained, mainVideoUnshaded.py:317-327 - the
+        # stage-1 -> adversarial-stage-2 handoff)
+        if args.pretrained.endswith(".npz"):
+            from isosurfacesuperresolution_tpu.train.checkpoint import (
+                load_params_npz)
+            state = state._replace(
+                params=load_params_npz(args.pretrained, state.params))
+            print(f"pretrained generator from {args.pretrained}")
+        else:
+            pre_mgr = CheckpointManager(args.pretrained)
+            params, epoch = pre_mgr.restore_params(state.params,
+                                                   args.restoreEpoch)
+            state = state._replace(params=params)
+            print(f"pretrained generator from {args.pretrained} "
+                  f"(epoch {epoch})")
 
     recent_losses: List[float] = []   # spike-guard window
     for epoch in range(start_epoch, t.epochs + 1):

@@ -78,6 +78,22 @@ class CheckpointManager:
     def latest_epoch(self) -> Optional[int]:
         return self.manager.latest_step()
 
+    def restore_params(self, params_template, epoch: Optional[int] = None):
+        """Restore ONLY the generator params (the reference's
+        ``--pretrained``, `mainVideoUnshaded.py:317-327`): stage-2
+        adversarial fine-tunes start from a stage-1 generator while the
+        optimizer/discriminator state - whose structure differs between
+        the stages - starts fresh."""
+        epoch = epoch if epoch is not None else self.manager.latest_step()
+        if epoch is None:
+            raise FileNotFoundError(f"no checkpoints in {self.directory}")
+        raw = self.manager.restore(epoch)  # raw pytree; other keys ignored
+        import jax.numpy as jnp
+        params = jax.tree_util.tree_map(
+            lambda t, r: jnp.asarray(r, dtype=t.dtype),
+            params_template, raw["params"])
+        return params, epoch
+
     def restore(self, state, epoch: Optional[int] = None):
         """Restore into the structure of ``state`` (parity with
         `--restore`/`--restoreEpoch`, `mainVideoUnshaded.py:345-375`)."""

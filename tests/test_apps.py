@@ -55,6 +55,23 @@ def test_restore_continues_training(trained_run, tmp_path):
           "--restore", trained_run])
 
 
+def test_pretrained_adversarial_stage2(trained_run, tmp_path):
+    """Stage-2 handoff: --pretrained restores ONLY the generator from a
+    stage-1 run while the adversarial stage's discriminator/optimizers
+    (structurally absent from the stage-1 checkpoint) start fresh -
+    reference --pretrained + trainAdv_v2."""
+    from isosurfacesuperresolution_tpu.apps.main_video_unshaded import main
+    run_base = str(tmp_path / "runs_adv")
+    main(["--dataset", "analytic:sphere", "--numberOfImages", "2",
+          "--numFrames", "2", "--samples", "8", "--cropSize", "8",
+          "--batchSize", "2", "--epochs", "1", "--numResidualLayers", "1",
+          "--lossBorderPadding", "2", "--runDir", run_base,
+          "--pretrained", trained_run, "--advTraining",
+          "--losses", "l1:mask:1,l1:color:1,adv:all:0.1"])
+    run = os.path.join(run_base, "run00001")
+    assert os.path.exists(os.path.join(run, "checkpoints"))
+
+
 def test_stats_harness(tmp_path, trained_run):
     from isosurfacesuperresolution_tpu.apps.main_psnr_stats import main
     out = str(tmp_path / "stats")

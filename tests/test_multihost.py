@@ -1,0 +1,93 @@
+"""Multi-host scaffolding tests on the virtual 8-device CPU mesh.
+
+`parallel/multihost.py`: DCN x ICI hybrid meshes, hierarchical data
+parallelism, per-process batch assembly.  Single-process here, so the
+DCN axis is a layout convention - but the SPMD programs compiled are the
+same ones a real 2-slice run executes, which is exactly what the
+driver's `dryrun_multichip` validates for the 1-D mesh.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from isosurfacesuperresolution_tpu.parallel.multihost import (
+    hierarchical_batch_spec, initialize_distributed, make_hybrid_mesh,
+    make_hybrid_train_step, process_local_batch, shard_batch_hybrid)
+
+from tests.test_train import _fake_clip, _tiny_config
+
+
+def test_initialize_distributed_single_process_noop():
+    pidx, pcount = initialize_distributed()
+    assert (pidx, pcount) == (0, 1)
+
+
+def test_hybrid_mesh_shape():
+    mesh = make_hybrid_mesh(num_dcn=2)
+    assert mesh.shape == {"dcn": 2, "ici": 4}
+    assert mesh.devices.shape == (2, 4)
+    with pytest.raises(ValueError, match="do not split"):
+        make_hybrid_mesh(num_dcn=3)
+
+
+def test_hierarchical_spec_and_sharding():
+    mesh = make_hybrid_mesh(num_dcn=2)
+    spec = hierarchical_batch_spec(3)
+    assert spec == jax.sharding.PartitionSpec(("dcn", "ici"), None, None)
+    x = jnp.arange(8 * 2 * 2, dtype=jnp.float32).reshape(8, 2, 2)
+    (xs,) = shard_batch_hybrid(mesh, (x,))
+    # batch dim split 8-ways over the flattened (dcn, ici) axes:
+    # every device owns exactly one batch element
+    shard_shapes = {s.data.shape for s in xs.addressable_shards}
+    assert shard_shapes == {(1, 2, 2)}
+    np.testing.assert_array_equal(np.asarray(xs), np.asarray(x))
+
+
+def test_process_local_batch_single_process():
+    mesh = make_hybrid_mesh(num_dcn=2)
+    x = np.random.RandomState(0).rand(8, 3).astype(np.float32)
+    (xs,) = process_local_batch(mesh, (x,))
+    np.testing.assert_array_equal(np.asarray(xs), x)
+    assert {s.data.shape for s in xs.addressable_shards} == {(1, 3)}
+
+
+def test_hybrid_train_step_matches_single_device():
+    """Hierarchical 2x4 DP must produce the same loss/params as the
+    un-sharded step: data parallelism is mathematically a no-op."""
+    from isosurfacesuperresolution_tpu.losses.lossnet_unshaded import (
+        LossNetUnshaded)
+    from isosurfacesuperresolution_tpu.models.generators import (
+        create_network)
+    from isosurfacesuperresolution_tpu.parallel.mesh import replicate
+    from isosurfacesuperresolution_tpu.train.trainer import (
+        create_train_state, make_optimizer, make_train_step)
+
+    import dataclasses
+    cfg = _tiny_config()
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, batch_size=8))
+    model = create_network(cfg.model)
+    criterion = LossNetUnshaded(cfg.loss, high_res=cfg.train.crop_size * 4)
+    opt = make_optimizer(cfg)
+    state = create_train_state(cfg, model, criterion, opt,
+                               jax.random.PRNGKey(0))
+    step = make_train_step(cfg, model, criterion, opt)
+
+    low, flow, high = _fake_clip(np.random.RandomState(1), b=8)
+
+    ref_state, ref_loss = step(state, low, flow, high)
+
+    mesh = make_hybrid_mesh(num_dcn=2)
+    hybrid = make_hybrid_train_step(step, mesh)
+    with mesh:
+        state_r = replicate(mesh, state)
+        new_state, loss = hybrid(state_r, low, flow, high)
+
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    ref_leaves = jax.tree_util.tree_leaves(ref_state.params)
+    new_leaves = jax.tree_util.tree_leaves(new_state.params)
+    for a, b in zip(ref_leaves, new_leaves):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
