@@ -97,6 +97,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "only, optimizers/discriminator fresh (the "
                         "stage-2 adversarial handoff; reference "
                         "--pretrained)")
+    p.add_argument("--imageEvery", type=int, default=10,
+                   help="log test image panels to tensorboard every N "
+                        "epochs (0 disables; reference logs each epoch, "
+                        "mainVideoUnshaded.py:728-797)")
     p.add_argument("--checkpointEvery", type=int, default=1)
     # parallel
     p.add_argument("--dataParallel", type=int, default=1,
@@ -256,6 +260,52 @@ def load_sequences(args, cfg):
     return load_reference_npy_dir(spec)
 
 
+def _log_test_images(writer, cfg, predict_clip, params, batch, epoch):
+    """Tensorboard image panels for one fixed test clip (parity:
+    `mainVideoUnshaded.py:728-797`): input / prediction / GT side by side
+    for the shaded color and each unshaded channel, last frame."""
+    import jax.numpy as jnp
+
+    from isosurfacesuperresolution_tpu.ops.resize import resize
+    from isosurfacesuperresolution_tpu.render.shading import (
+        screen_space_shading)
+
+    low, flow, high = batch
+    low, flow, high = low[:1], flow[:1], high[:1]
+    pred = predict_clip(params, low, flow)[0, -1]       # (H, W, C)
+    gt = high[0, -1]
+    hh, ww = gt.shape[0], gt.shape[1]
+    inp = resize(low[:, -1], size=(hh, ww),
+                 method=cfg.model.upsample)[0][..., :gt.shape[-1]]
+
+    def panel(x):                                       # -> (3, H, 3W)
+        x = np.clip(np.asarray(x, np.float32), 0.0, 1.0)
+        if x.ndim == 2:
+            x = x[..., None]
+        if x.shape[-1] == 1:
+            x = np.repeat(x, 3, axis=-1)
+        return np.transpose(x, (2, 0, 1))
+
+    triple = {}
+    for name, buf in (("input", inp), ("prediction", pred), ("gt", gt)):
+        buf = jnp.asarray(buf)
+        shaded = screen_space_shading(buf[None], cfg.shading)[0]
+        triple.setdefault("shaded", []).append(panel(shaded))
+        triple.setdefault("mask", []).append(
+            panel((np.asarray(buf[..., 0]) + 1.0) / 2.0))
+        triple.setdefault("normal", []).append(
+            panel((np.asarray(buf[..., 1:4]) + 1.0) / 2.0))
+        triple.setdefault("depth", []).append(panel(np.asarray(buf[..., 4])))
+        if buf.shape[-1] >= 6:
+            triple.setdefault("ao", []).append(
+                panel(np.asarray(buf[..., 5])))
+    for name, panels in triple.items():
+        writer.add_image(f"test/{name}", np.concatenate(panels, axis=2),
+                         epoch)
+    residual = np.abs(np.asarray(pred) - np.asarray(gt)).mean(-1)
+    writer.add_image("test/residual", panel(residual * 4.0), epoch)
+
+
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
     cfg = make_config(args)
@@ -345,6 +395,8 @@ def main(argv=None) -> None:
     else:
         train_step = make_train_step(cfg, model, criterion, optimizer)
     eval_step = make_eval_step(cfg, model, criterion)
+    from isosurfacesuperresolution_tpu.train.trainer import make_predict_clip
+    predict_clip = make_predict_clip(cfg, model)
 
     if cfg.parallel.data_parallel > 1:
         mesh = make_mesh(cfg.parallel.data_parallel)
@@ -442,7 +494,10 @@ def main(argv=None) -> None:
         else:
             test_iter = test_set.batches(t.batch_size, shuffle=False,
                                          drop_last=False)
+        first_test = None
         for low, flow, high in test_iter:
+            if first_test is None:
+                first_test = (low, flow, high)
             l, p = eval_step(state.params, state.aux_params, low, flow, high)
             test_loss += float(l)
             test_psnr += float(p)
@@ -450,6 +505,10 @@ def main(argv=None) -> None:
         if n_test:
             writer.add_scalar("test/total_loss", test_loss / n_test, epoch)
             writer.add_scalar("test/psnr", test_psnr / n_test, epoch)
+        if (args.imageEvery and epoch % args.imageEvery == 0
+                and first_test is not None):
+            _log_test_images(writer, cfg, predict_clip, state.params,
+                             first_test, epoch)
         print(f"===> Epoch {epoch}: train loss {epoch_loss:.4f}, "
               f"test psnr {test_psnr / max(n_test, 1):.2f} dB "
               f"({time.time() - t0:.1f}s)")

@@ -195,6 +195,40 @@ def make_train_step(cfg: Config, model, criterion: LossNetUnshaded,
     return train_step
 
 
+def make_predict_clip(cfg: Config, model) -> Callable:
+    """jit'd recurrent rollout over one clip -> (B, T, H*u, W*u, Cout)
+    clamped predictions (no losses).  Backs the per-epoch tensorboard
+    image panels (parity: `mainVideoUnshaded.py:728-797`)."""
+    m = cfg.model
+
+    @jax.jit
+    def predict(params, low, flow):
+        def run_frame(prev_output, prev_low, low_t, flow_t, first):
+            net_in, _, _, _ = _frame_inputs(
+                low_t, flow_t, prev_output, prev_low, None, low[:, 0],
+                cfg, first)
+            prediction, _ = model.apply(params, net_in)
+            return clamp_output(prediction)
+
+        out0 = run_frame(None, None, low[:, 0], flow[:, 0], True)
+
+        def body(carry, xs):
+            prev, prev_low = carry
+            low_t, flow_t = xs
+            out = run_frame(prev, prev_low, low_t, flow_t, False)
+            return (out, low_t), out
+
+        T = low.shape[1]
+        if T > 1:
+            xs = (jnp.moveaxis(low[:, 1:], 1, 0),
+                  jnp.moveaxis(flow[:, 1:], 1, 0))
+            _, outs = jax.lax.scan(body, (out0, low[:, 0]), xs)
+            return jnp.concatenate(
+                [out0[:, None], jnp.moveaxis(outs, 0, 1)], axis=1)
+        return out0[:, None]
+    return predict
+
+
 def make_eval_step(cfg: Config, model, criterion: LossNetUnshaded
                    ) -> Callable:
     """jit'd evaluation over a clip: returns summed loss + last-frame PSNR
