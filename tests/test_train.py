@@ -336,3 +336,40 @@ def test_training_learns_beyond_identity_at_full_depth():
                                                   losses[-1])
     assert np.mean(losses[-50:]) < 0.9 * np.mean(losses[:50]), (
         np.mean(losses[:50]), np.mean(losses[-50:]))
+
+
+def test_predict_clip_matches_naive_rollout():
+    """make_predict_clip's lax.scan rollout must equal a per-frame Python
+    replay of the same recurrence (shape (B, T, H*u, W*u, Cout), clamped)."""
+    from isosurfacesuperresolution_tpu.train.trainer import (
+        _frame_inputs, make_predict_clip)
+
+    cfg = _tiny_config()
+    model = create_network(cfg.model)
+    criterion = LossNetUnshaded(cfg.loss, high_res=cfg.train.crop_size * 4)
+    opt = make_optimizer(cfg)
+    state = create_train_state(cfg, model, criterion, opt,
+                               jax.random.PRNGKey(0))
+    rng = np.random.RandomState(2)
+    low, flow, high = _fake_clip(rng)
+    b, t, h = low.shape[:3]
+    u = cfg.model.upscale_factor
+
+    predict = make_predict_clip(cfg, model)
+    out = predict(state.params, low, flow)
+    assert out.shape == (b, t, h * u, h * u, 6)
+    out = np.asarray(out)
+    assert np.isfinite(out).all()
+    assert out[..., 0].min() >= -1.0 and out[..., 0].max() <= 1.0
+    assert out[..., 4:].min() >= 0.0 and out[..., 4:].max() <= 1.0
+
+    prev, prev_low = None, None
+    for i in range(t):
+        net_in, _, _, _ = _frame_inputs(low[:, i], flow[:, i], prev,
+                                        prev_low, None, low[:, 0], cfg,
+                                        i == 0)
+        pred, _ = model.apply(state.params, net_in)
+        prev = clamp_output(pred)
+        prev_low = low[:, i]
+        np.testing.assert_allclose(out[:, i], np.asarray(prev),
+                                   rtol=2e-5, atol=2e-5)
