@@ -20,6 +20,7 @@ import argparse
 import os
 import sys
 import time
+import traceback
 from functools import partial
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -29,6 +30,72 @@ def device_hbm_mb() -> float:
     import jax
     stats = jax.local_devices()[0].memory_stats() or {}
     return stats.get("bytes_in_use", 0) / 1e6
+
+
+def bench_res(res: int, family: str, N: int):
+    """Generate + bench one volume resolution; returns a result row."""
+    import jax
+    import jax.numpy as jnp
+
+    from isosurfacesuperresolution_tpu.config import RenderConfig
+    from isosurfacesuperresolution_tpu.render.api import render_frame_gbuffer
+    from isosurfacesuperresolution_tpu.render.camera import CameraParams
+    from isosurfacesuperresolution_tpu.volume import analytic
+
+    # uint8 storage above 256^3: GVDB-class volumes must not eat HBM
+    # (1024^3 f32 = 4.3 GB; uint8 = 1.07 GB + the brick pyramid)
+    store = "float32" if res <= 256 else "uint8"
+    t0 = time.time()
+    grid = getattr(analytic, f"{family}_volume")(res)
+    if store != "float32":
+        import numpy as np
+
+        from isosurfacesuperresolution_tpu.volume.grid import BrickGrid
+        dense = np.asarray(grid.dequant(grid.values))
+        grid = BrickGrid.from_dense(dense, brick_size=grid.brick_size,
+                                    store_dtype=store)
+        del dense
+    gen_s = time.time() - t0
+    occ = float((grid.brick_max >= 0.36).mean())
+    print(f"[{res}^3 {store}] generated in {gen_s:.0f}s, "
+          f"occupied bricks (iso .36): {100 * occ:.0f}%", file=sys.stderr)
+
+    cfg = RenderConfig(width=480, height=270, isovalue=0.36,
+                       ao_samples=0, renderer="sweep_pallas",
+                       sweep_oversample=1.25, sweep_dtype="bfloat16")
+
+    def cam_at(ang):
+        eye = jnp.stack([1.7 * jnp.sin(ang), jnp.float32(0.9),
+                         -1.7 * jnp.cos(ang)])
+        return CameraParams(eye, jnp.zeros(3),
+                            jnp.asarray([0.0, 1.0, 0.0]), 45.0)
+
+    @partial(jax.jit, static_argnums=(2,))
+    def run_frames(grid, ang0, n):
+        def body(ang, _):
+            cam = cam_at(ang)
+            gb = render_frame_gbuffer(grid, cam, cam_at(ang - 0.03), cfg)
+            # carried dependency: camera advances by a gb-derived
+            # epsilon so frames can't be hoisted or reordered
+            eps = 1e-9 * jnp.tanh(jnp.sum(gb[::32, ::32, 0]))
+            return ang + 0.05 + eps, ()
+        ang, _ = jax.lax.scan(body, ang0, None, length=n)
+        return ang
+
+    t0 = time.time()
+    float(run_frames(grid, jnp.float32(0.0), N))
+    compile_s = time.time() - t0
+    times = []
+    for i in range(3):
+        t0 = time.time()
+        float(run_frames(grid, jnp.float32(0.1 + i), N))
+        times.append((time.time() - t0) / N)
+    ms = 1000 * min(times)
+    hbm = device_hbm_mb()
+    print(f"[{res}^3] compile {compile_s:.0f}s, render "
+          f"{ms:.2f} ms/frame ({1000 / ms:.1f} FPS), HBM {hbm:.0f} MB",
+          file=sys.stderr)
+    return (res, store, ms, 1000 / ms, hbm, occ)
 
 
 def main() -> None:
@@ -47,75 +114,16 @@ def main() -> None:
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    import jax.numpy as jnp
-
-    from isosurfacesuperresolution_tpu.config import RenderConfig
-    from isosurfacesuperresolution_tpu.render.api import render_frame_gbuffer
-    from isosurfacesuperresolution_tpu.render.camera import CameraParams
-    from isosurfacesuperresolution_tpu.volume import analytic
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
-    N = args.frames
     rows = []
-
     for res in [int(r) for r in args.res.split(",")]:
-        # uint8 storage above 256^3: GVDB-class volumes must not eat HBM
-        # (1024^3 f32 = 4.3 GB; uint8 = 1.07 GB + the brick pyramid)
-        store = "float32" if res <= 256 else "uint8"
-        t0 = time.time()
-        grid = getattr(analytic, f"{args.family}_volume")(res)
-        if store != "float32":
-            import numpy as np
-
-            from isosurfacesuperresolution_tpu.volume.grid import BrickGrid
-            dense = np.asarray(grid.dequant(grid.values))
-            grid = BrickGrid.from_dense(dense, brick_size=grid.brick_size,
-                                        store_dtype=store)
-            del dense
-        gen_s = time.time() - t0
-        occ = float((grid.brick_max >= 0.36).mean())
-        print(f"[{res}^3 {store}] generated in {gen_s:.0f}s, "
-              f"occupied bricks (iso .36): {100 * occ:.0f}%",
-              file=sys.stderr)
-
-        cfg = RenderConfig(width=480, height=270, isovalue=0.36,
-                           ao_samples=0, renderer="sweep_pallas",
-                           sweep_oversample=1.25, sweep_dtype="bfloat16")
-
-        def cam_at(ang):
-            eye = jnp.stack([1.7 * jnp.sin(ang), jnp.float32(0.9),
-                             -1.7 * jnp.cos(ang)])
-            return CameraParams(eye, jnp.zeros(3),
-                                jnp.asarray([0.0, 1.0, 0.0]), 45.0)
-
-        @partial(jax.jit, static_argnums=(2,))
-        def run_frames(grid, ang0, n):
-            def body(ang, _):
-                cam = cam_at(ang)
-                gb = render_frame_gbuffer(grid, cam, cam_at(ang - 0.03),
-                                          cfg)
-                # carried dependency: camera advances by a gb-derived
-                # epsilon so frames can't be hoisted or reordered
-                eps = 1e-9 * jnp.tanh(jnp.sum(gb[::32, ::32, 0]))
-                return ang + 0.05 + eps, ()
-            ang, _ = jax.lax.scan(body, ang0, None, length=n)
-            return ang
-
-        t0 = time.time()
-        float(run_frames(grid, jnp.float32(0.0), N))
-        compile_s = time.time() - t0
-        times = []
-        for i in range(3):
-            t0 = time.time()
-            float(run_frames(grid, jnp.float32(0.1 + i), N))
-            times.append((time.time() - t0) / N)
-        ms = 1000 * min(times)
-        hbm = device_hbm_mb()
-        print(f"[{res}^3] compile {compile_s:.0f}s, render "
-              f"{ms:.2f} ms/frame ({1000 / ms:.1f} FPS), HBM {hbm:.0f} MB",
-              file=sys.stderr)
-        rows.append((res, store, ms, 1000 / ms, hbm, occ))
-        del grid
+        # one bad resolution must not lose the others' rows
+        try:
+            rows.append(bench_res(res, args.family, args.frames))
+        except Exception:
+            print(f"[{res}^3] FAILED:", file=sys.stderr)
+            traceback.print_exc()
 
     print("\n| volume | storage | render ms/frame | FPS | HBM MB | "
           "occupied bricks |")
