@@ -28,6 +28,15 @@ import numpy as np
 
 
 def main() -> None:
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--split", action="store_true",
+                    help="measure with the split row-phase tail conv "
+                         "(ModelConfig.planar_split_tail)")
+    ap.add_argument("--no-ao", action="store_true",
+                    help="skip the AO-enabled variant (faster A/B runs)")
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
 
@@ -42,7 +51,8 @@ def main() -> None:
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
 
-    cfg = Config(model=ModelConfig(compute_dtype="bfloat16"))
+    cfg = Config(model=ModelConfig(compute_dtype="bfloat16",
+                                   planar_split_tail=args.split))
 
     model = create_network(cfg.model)
     cin = network_input_channels(cfg.model)
@@ -96,6 +106,12 @@ def main() -> None:
                               sweep_oversample=1.25,
                               sweep_dtype="bfloat16")
     fps = measure(render_cfg, grid, "no-AO")
+
+    if args.no_ao:
+        print(json.dumps({"metric": "fused 1080p FPS (no-AO only)",
+                          "value": round(fps, 3), "unit": "fps",
+                          "vs_baseline": round(fps / 30.0, 3)}))
+        return
 
     # full reference G-buffer incl. ambient occlusion: baked SH field
     # streamed through the Pallas march (render_kernel.cu:109-146 parity)
