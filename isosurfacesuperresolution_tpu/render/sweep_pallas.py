@@ -114,8 +114,14 @@ def _march_kernel(*refs, Sn: int, Tn: int, X: int, Y: int, mm_dtype,
                 ao_dma_for(k, parity).wait()
 
     def update(slot, aslot):
-        sl = ((1.0 - fz) * slot[0].astype(jnp.float32)
-              + fz * slot[1].astype(jnp.float32))          # (X, Y)
+        def to_f32(x):
+            # Mosaic has no direct uint8->f32 convert; hop through int32
+            # for integer-stored volumes
+            if jnp.issubdtype(x.dtype, jnp.integer):
+                x = x.astype(jnp.int32)
+            return x.astype(jnp.float32)
+
+        sl = (1.0 - fz) * to_f32(slot[0]) + fz * to_f32(slot[1])  # (X, Y)
         # affine dequant of compact-storage (bf16/uint8) volumes
         if scale != 1.0:
             sl = sl * jnp.float32(scale)

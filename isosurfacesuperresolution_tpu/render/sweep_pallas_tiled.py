@@ -39,10 +39,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _tiled_kernel(meta_ref,        # SMEM (K, 8) f32 (as the flat kernel)
+def _tiled_kernel(meta_ref,        # SMEM (1, 8) f32 window (row k)
                   count_ref,       # SMEM (K,) i32 occupied-pair count
-                  pairs_ref,       # SMEM (K, P) i32 pair id = xt*NTY + yt
-                  ybits_ref,       # SMEM (K, NTY) i32 column-tile flags
+                  pairs_ref,       # SMEM (1, P) i32 window (row k)
+                  ybits_ref,       # SMEM (1, NTY) i32 window (row k)
                   vol_hbm,         # ANY (Z, X, Y) volume
                   sg_ref, tg_ref,  # VMEM (1, Sn) / (1, Tn)
                   mhit_ref, frac_ref, fm1_ref, gs_ref, gt_ref, gz_ref,
@@ -53,12 +53,12 @@ def _tiled_kernel(meta_ref,        # SMEM (K, 8) f32 (as the flat kernel)
                   scale: float = 1.0, offset: float = 0.0):
     k = pl.program_id(0)
 
-    lam = meta_ref[k, 1]
-    fz = meta_ref[k, 3]
-    do = meta_ref[k, 4] > 0.5
-    iso = meta_ref[k, 5]
-    eye_s = meta_ref[k, 6]
-    eye_t = meta_ref[k, 7]
+    lam = meta_ref[0, 1]
+    fz = meta_ref[0, 3]
+    do = meta_ref[0, 4] > 0.5
+    iso = meta_ref[0, 5]
+    eye_s = meta_ref[0, 6]
+    eye_t = meta_ref[0, 7]
     n = count_ref[k]
 
     @pl.when(k == 0)
@@ -72,10 +72,10 @@ def _tiled_kernel(meta_ref,        # SMEM (K, 8) f32 (as the flat kernel)
 
     def dma_pair(i, slot_idx):
         """Start the (2, TX, TY) block copy of occupied pair i."""
-        pid = pairs_ref[k, i]
+        pid = pairs_ref[0, i]
         xt = pid // NTY
         yt = pid - xt * NTY
-        zfi = meta_ref[k, 2].astype(jnp.int32)
+        zfi = meta_ref[0, 2].astype(jnp.int32)
         return pltpu.make_async_copy(
             vol_hbm.at[pl.ds(zfi, 2), pl.ds(xt * TX, TX),
                        pl.ds(yt * TY, TY)],
@@ -85,7 +85,7 @@ def _tiled_kernel(meta_ref,        # SMEM (K, 8) f32 (as the flat kernel)
     def _():
         # zero the accumulator only under occupied column tiles
         for yt in range(NTY):
-            @pl.when(ybits_ref[k, yt] > 0)
+            @pl.when(ybits_ref[0, yt] > 0)
             def _(yt=yt):
                 tmp_ref[:, yt * TY:(yt + 1) * TY] = jnp.zeros(
                     (Sn, TY), jnp.float32)
@@ -104,11 +104,18 @@ def _tiled_kernel(meta_ref,        # SMEM (K, 8) f32 (as the flat kernel)
                 jax.lax.cond(i % 2 == 0,
                              lambda: dma_pair(i, 0).wait(),
                              lambda: dma_pair(i, 1).wait())
-                pid = pairs_ref[k, i]
+                pid = pairs_ref[0, i]
                 xt = pid // NTY
                 yt = pid - xt * NTY
-                sl = ((1.0 - fz) * slot[0].astype(jnp.float32)
-                      + fz * slot[1].astype(jnp.float32))   # (TX, TY)
+                def to_f32(x):
+                    # Mosaic has no direct uint8->f32 convert; hop
+                    # through int32 for integer-stored volumes
+                    if jnp.issubdtype(x.dtype, jnp.integer):
+                        x = x.astype(jnp.int32)
+                    return x.astype(jnp.float32)
+
+                sl = ((1.0 - fz) * to_f32(slot[0])
+                      + fz * to_f32(slot[1]))               # (TX, TY)
                 if scale != 1.0:
                     sl = sl * jnp.float32(scale)
                 if offset != 0.0:
@@ -137,7 +144,7 @@ def _tiled_kernel(meta_ref,        # SMEM (K, 8) f32 (as the flat kernel)
                   .astype(jnp.float32) + 0.5 + yt * TY)
             wy = jnp.maximum(0.0, 1.0 - jnp.abs(t_pos[:, None] - jy))
             F = jax.lax.cond(
-                ybits_ref[k, yt] > 0,
+                ybits_ref[0, yt] > 0,
                 lambda F=F, yt=yt, wy=wy: F + jnp.dot(
                     tmp_ref[:, yt * TY:(yt + 1) * TY].astype(mm_dtype),
                     wy.T.astype(mm_dtype),
@@ -253,10 +260,16 @@ def march_pallas_tiled(vol_zxy: jnp.ndarray,      # (Z, X, Y) slice-major
                           scale=scale, offset=offset),
         grid=(K,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # meta
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # counts
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # pairs
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # ybits
+            # (1, .) SMEM windows: a full (K, .) SMEM residency pads
+            # every row to 128 lanes (512 B) and overflows the 1 MB
+            # SMEM at K~1024 (512^3); only row k is ever read
+            pl.BlockSpec((1, 8), lambda k: (k, 0),
+                         memory_space=pltpu.SMEM),   # meta row k
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # counts (1-D, small)
+            pl.BlockSpec((1, P), lambda k: (k, 0),
+                         memory_space=pltpu.SMEM),   # pairs row k
+            pl.BlockSpec((1, NTY), lambda k: (k, 0),
+                         memory_space=pltpu.SMEM),   # ybits row k
             pl.BlockSpec(memory_space=pltpu.ANY),    # volume
             pl.BlockSpec((1, Sn), lambda k: (0, 0),
                          memory_space=pltpu.VMEM),

@@ -36,25 +36,37 @@ def bench_res(res: int, family: str, N: int):
     """Generate + bench one volume resolution; returns a result row."""
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from isosurfacesuperresolution_tpu.config import RenderConfig
     from isosurfacesuperresolution_tpu.render.api import render_frame_gbuffer
     from isosurfacesuperresolution_tpu.render.camera import CameraParams
     from isosurfacesuperresolution_tpu.volume import analytic
+    from isosurfacesuperresolution_tpu.volume.grid import BrickGrid
 
     # uint8 storage above 256^3: GVDB-class volumes must not eat HBM
     # (1024^3 f32 = 4.3 GB; uint8 = 1.07 GB + the brick pyramid)
     store = "float32" if res <= 256 else "uint8"
     t0 = time.time()
-    grid = getattr(analytic, f"{family}_volume")(res)
-    if store != "float32":
-        import numpy as np
-
-        from isosurfacesuperresolution_tpu.volume.grid import BrickGrid
-        dense = np.asarray(grid.dequant(grid.values))
-        grid = BrickGrid.from_dense(dense, brick_size=grid.brick_size,
-                                    store_dtype=store)
-        del dense
+    cache = f"/tmp/{family}{res}_u8.npz"
+    if store == "uint8" and os.path.exists(cache):
+        z = np.load(cache)
+        grid = BrickGrid(values=jnp.asarray(z["values"]),
+                         brick_min=jnp.asarray(z["brick_min"]),
+                         brick_max=jnp.asarray(z["brick_max"]),
+                         bbox_min=jnp.asarray(z["bbox_min"]),
+                         bbox_max=jnp.asarray(z["bbox_max"]),
+                         brick_size=int(z["brick_size"]),
+                         value_scale=float(z["value_scale"]),
+                         value_offset=float(z["value_offset"]))
+        print(f"[{res}^3] loaded cached {cache}", file=sys.stderr)
+    else:
+        grid = getattr(analytic, f"{family}_volume")(res)
+        if store != "float32":
+            dense = np.asarray(grid.dequant(grid.values))
+            grid = BrickGrid.from_dense(dense, brick_size=grid.brick_size,
+                                        store_dtype=store)
+            del dense
     gen_s = time.time() - t0
     occ = float((grid.brick_max >= 0.36).mean())
     print(f"[{res}^3 {store}] generated in {gen_s:.0f}s, "
