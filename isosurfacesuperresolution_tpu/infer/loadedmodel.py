@@ -65,14 +65,10 @@ class LoadedModel:
         identical, so any checkpoint loads either way."""
         import dataclasses
 
-        from isosurfacesuperresolution_tpu.losses.lossnet_unshaded import (
-            LossNetUnshaded)
         from isosurfacesuperresolution_tpu.models.generators import (
-            create_network)
+            create_network, network_input_channels)
         from isosurfacesuperresolution_tpu.train.checkpoint import (
             CheckpointManager)
-        from isosurfacesuperresolution_tpu.train.trainer import (
-            create_train_state, make_optimizer)
 
         cfg = config_from_json(os.path.join(run_dir, "config.json"))
         if fast:
@@ -80,14 +76,16 @@ class LoadedModel:
                 cfg, model=dataclasses.replace(cfg.model,
                                                fused_upsample=True))
         model = create_network(cfg.model)
-        criterion = LossNetUnshaded(
-            cfg.loss, high_res=cfg.train.crop_size * cfg.model.upscale_factor)
-        optimizer = make_optimizer(cfg)
-        state = create_train_state(cfg, model, criterion, optimizer,
-                                   jax.random.PRNGKey(0))
+        # generator-params-only restore: inference never needs the
+        # optimizer/discriminator trees, whose structure varies between
+        # stage-1 and adversarial stage-2 checkpoints (a full
+        # StandardRestore on a stage-2 run dir fails on that mismatch)
+        cin = network_input_channels(cfg.model)
+        template = model.init(jax.random.PRNGKey(0),
+                              jnp.zeros((1, 8, 8, cin)))
         mgr = CheckpointManager(run_dir)
-        state, _ = mgr.restore(state, epoch)
-        return cls(model, state.params, cfg)
+        params, _ = mgr.restore_params(template, epoch)
+        return cls(model, params, cfg)
 
     @classmethod
     def from_params_npz(cls, path: str, cfg: Config) -> "LoadedModel":

@@ -87,11 +87,21 @@ class CheckpointManager:
         epoch = epoch if epoch is not None else self.manager.latest_step()
         if epoch is None:
             raise FileNotFoundError(f"no checkpoints in {self.directory}")
-        raw = self.manager.restore(epoch)  # raw pytree; other keys ignored
+        # partial StandardRestore: only the params subtree is materialized,
+        # onto the template's devices (a raw restore would resolve the
+        # sharding the checkpoint was SAVED under - a TPU checkpoint then
+        # fails to load in a CPU process)
+        template = {"params": params_template}
+        restored = self.manager.restore(
+            epoch, args=ocp.args.PyTreeRestore(
+                item=template,
+                restore_args=ocp.checkpoint_utils.construct_restore_args(
+                    template),
+                partial_restore=True))
         import jax.numpy as jnp
         params = jax.tree_util.tree_map(
             lambda t, r: jnp.asarray(r, dtype=t.dtype),
-            params_template, raw["params"])
+            params_template, restored["params"])
         return params, epoch
 
     def restore(self, state, epoch: Optional[int] = None):

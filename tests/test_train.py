@@ -373,3 +373,36 @@ def test_predict_clip_matches_naive_rollout():
         prev_low = low[:, i]
         np.testing.assert_allclose(out[:, i], np.asarray(prev),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_restore_params_only(tmp_path):
+    """`restore_params` must load the generator subtree from any run's
+    checkpoint - including adversarial (stage-2) checkpoints whose
+    optimizer/discriminator trees differ from a fresh template (the eval
+    harness loads every run dir through this path)."""
+    from isosurfacesuperresolution_tpu.models.generators import (
+        network_input_channels)
+
+    cfg = _tiny_config()
+    model = create_network(cfg.model)
+    criterion = LossNetUnshaded(cfg.loss, high_res=cfg.train.crop_size * 4)
+    opt = make_optimizer(cfg)
+    state = create_train_state(cfg, model, criterion, opt,
+                               jax.random.PRNGKey(3))
+    mgr = CheckpointManager(str(tmp_path))
+    mgr.save(1, state)
+    mgr.manager.wait_until_finished()
+
+    cin = network_input_channels(cfg.model)
+    template = model.init(jax.random.PRNGKey(9),
+                          jnp.zeros((1, 8, 8, cin)))
+    # fresh manager: the eval harness opens run dirs cold, and a manager
+    # that just saved with StandardSave pins that handler for the item
+    params, epoch = CheckpointManager(str(tmp_path)).restore_params(
+        template, None)
+    assert epoch == 1
+    a = jax.tree_util.tree_leaves(state.params)
+    b = jax.tree_util.tree_leaves(params)
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y))
