@@ -49,7 +49,26 @@ def main() -> None:
     from isosurfacesuperresolution_tpu.render.camera import CameraParams
     from isosurfacesuperresolution_tpu.volume import analytic
 
+    # A dead TPU tunnel makes jax.devices() hang forever (observed in
+    # round 2); fail fast with a clear message instead of hanging the
+    # caller.  No JSON line is emitted on failure - a fake metric is
+    # worse than no metric.
+    import os
+    import threading
+    devices_up = threading.Event()
+
+    timeout_s = float(os.environ.get("BENCH_DEVICE_TIMEOUT", "300"))
+
+    def _watchdog():
+        if not devices_up.wait(timeout_s):
+            print(f"bench: no device response within {timeout_s:.0f}s "
+                  "(TPU tunnel down?) - aborting without a metric",
+                  file=sys.stderr)
+            os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
     print(f"devices: {jax.devices()}", file=sys.stderr)
+    devices_up.set()
 
     cfg = Config(model=ModelConfig(compute_dtype="bfloat16",
                                    planar_split_tail=args.split))
