@@ -49,7 +49,12 @@ class SequenceConfig:
     look_at_jitter: float = 0.1
     iso_range: Tuple[float, float] = (0.36, 0.36)
     ao_samples: int = 256
-    ao_radius: float = 1.0
+    # world-space AO falloff radius.  0.2 on the [-1,1]^3 analytic box gives
+    # strong contact shadows with clear crevice structure; the previous
+    # default of 1.0 (half the volume!) combined with the old radius/2
+    # sampling floor in bake_occlusion_sh produced a near-constant-1.0 AO
+    # channel (rmse vs 1.0 as low as 9e-4 across the round-2 clip cache).
+    ao_radius: float = 0.2
     fov_y_degrees: float = 45.0
     camera_light_prob: float = 0.7
     inpaint_iterations: int = 8

@@ -87,22 +87,36 @@ def _smoothstep_1_0(x: jnp.ndarray) -> jnp.ndarray:
 @partial(jax.jit, static_argnames=("num_dirs", "num_steps"))
 def bake_occlusion_sh(values: jnp.ndarray, isovalue: float | jnp.ndarray,
                       ao_radius_voxels: float | jnp.ndarray,
-                      num_dirs: int = 32, num_steps: int = 12,
+                      num_dirs: int = 32, num_steps: int = 16,
                       max_range_factor: float = 8.0) -> jnp.ndarray:
     """Bake SH-L1 occlusion fields: (X, Y, Z, 4) = [mean, gx, gy, gz].
 
     values : dense (X, Y, Z) volume; isovalue/radius as in the renderer
-    (radius in voxel units here).  Steps are log-spaced out to
-    ``max_range_factor * radius`` (the reference marches the full ray; the
-    smoothstep falloff makes far hits negligible).
+    (radius in voxel units here).  Sample distances are log-spaced from the
+    CONTACT range (max(0.75 voxel, radius/16) - occluders touching the
+    surface dominate AO) out to ``max_range_factor * radius / 2``; the
+    reference marches the full secondary ray (`render_kernel.cu:109-146`)
+    and its smoothstep falloff makes far hits negligible.  An earlier
+    revision started at radius/2, which skipped every occluder nearer than
+    half a radius and flattened AO to ~1 at large radii.
     """
     dirs = jnp.asarray(fibonacci_sphere(num_dirs))
     iso = jnp.asarray(isovalue, jnp.float32)
     radius = jnp.asarray(ao_radius_voxels, jnp.float32)
 
-    # log-spaced sample distances t_1..t_K in (0, max_range * radius]
+    # log-spaced sample distances: contact range -> a few radii.  The max
+    # over steps realizes "first hit", so dense near sampling is safe.  The
+    # 2-voxel floor is the bake's analogue of the oracle's ao_bias surface
+    # offset: occ is evaluated at voxel centers (including voxels just
+    # inside the material, which the surface trilerp mixes in), so
+    # sub-2-voxel samples read the surface's own material as a full
+    # occluder in every direction and AO collapses.  Radius-scaled floors
+    # fail the other way: radius/2 (the original) skipped every occluder
+    # nearer than half a radius and flattened AO to ~1 at large radii.
+    t0 = jnp.maximum(jnp.asarray(2.0, jnp.float32), radius / 16.0)
+    t1 = jnp.maximum(radius * max_range_factor / 2.0, t0 * 1.5)
     ks = jnp.arange(1, num_steps + 1, dtype=jnp.float32) / num_steps
-    ts = radius * (max_range_factor ** ks) / 2.0   # from ~radius/2 outward
+    ts = t0 * (t1 / t0) ** ks
 
     def occ_for_dir(d):
         def step(occ, t):
