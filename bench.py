@@ -33,6 +33,9 @@ def main() -> None:
     ap.add_argument("--split", action="store_true",
                     help="measure with the split row-phase tail conv "
                          "(ModelConfig.planar_split_tail)")
+    ap.add_argument("--int8", action="store_true",
+                    help="int8-PTQ the trunk/post convs "
+                         "(ModelConfig.planar_int8)")
     ap.add_argument("--no-ao", action="store_true",
                     help="skip the AO-enabled variant (faster A/B runs)")
     args = ap.parse_args()
@@ -71,7 +74,8 @@ def main() -> None:
     devices_up.set()
 
     cfg = Config(model=ModelConfig(compute_dtype="bfloat16",
-                                   planar_split_tail=args.split))
+                                   planar_split_tail=args.split,
+                                   planar_int8=args.int8))
 
     model = create_network(cfg.model)
     cin = network_input_channels(cfg.model)

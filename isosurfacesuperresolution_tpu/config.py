@@ -168,6 +168,12 @@ class ModelConfig:
     # full-lane outputs) instead of one dense planar conv
     # (infer/planar.planar_tail_conv_split)
     planar_split_tail: bool = False
+    # planar engine: post-training int8 quantization of the trunk/post convs
+    # (per-output-channel weight scales, dynamic per-tensor activation
+    # scales, s8 x s8 -> s32 MXU convs; the final `out` conv and the
+    # residual reconstruction stay full precision for depth fidelity).
+    # Inference-only - training ignores it.  See infer/planar._conv.
+    planar_int8: bool = False
 
 
 # ---------------------------------------------------------------------------

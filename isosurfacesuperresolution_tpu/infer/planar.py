@@ -107,8 +107,10 @@ def supports_planar(cfg: ModelConfig) -> bool:
 # Kernel composition (static per trace; all reorders live here)
 # ---------------------------------------------------------------------------
 
-def _conv(x, kernel, bias=None, padding="SAME", dtype=None):
+def _conv(x, kernel, bias=None, padding="SAME", dtype=None, quant=False):
     dtype = dtype or x.dtype
+    if quant:
+        return _conv_int8(x, kernel, bias, padding, dtype)
     y = jax.lax.conv_general_dilated(
         x.astype(dtype), kernel.astype(dtype), (1, 1), padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
@@ -117,10 +119,42 @@ def _conv(x, kernel, bias=None, padding="SAME", dtype=None):
     return y
 
 
-def _edge_conv(x, kernel, bias=None, dtype=None):
+def _conv_int8(x, kernel, bias, padding, dtype):
+    """Post-training-quantized conv: s8 x s8 -> s32 on the MXU.
+
+    Weights get per-output-channel symmetric scales (standard PTQ - the
+    composed planar kernels have per-channel ranges spanning ~2 orders of
+    magnitude, a single tensor scale wastes most of the 8 bits); the
+    activation gets ONE dynamic per-tensor scale computed from this call's
+    max-abs (a fused reduction, ~free next to the conv).  v5e's MXU runs
+    s8 x s8 at 2x its bf16 rate, and the conv dominates HBM traffic
+    halves too (int8 activations).  Kernel quantization runs per frame but
+    is O(|K|) - negligible next to the conv itself.
+    """
+    f32 = jnp.float32
+    kf = kernel.astype(f32)
+    sw = jnp.max(jnp.abs(kf), axis=(0, 1, 2)) / 127.0        # (Cout,)
+    sw = jnp.maximum(sw, 1e-12)
+    kq = jnp.round(kf / sw).astype(jnp.int8)
+
+    xf = x.astype(f32)
+    sx = jnp.maximum(jnp.max(jnp.abs(xf)) / 127.0, 1e-12)
+    xq = jnp.round(xf / sx).astype(jnp.int8)
+
+    y = jax.lax.conv_general_dilated(
+        xq, kq, (1, 1), padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    y = y.astype(f32) * (sx * sw)
+    if bias is not None:
+        y = y + bias.astype(f32)
+    return y.astype(dtype)
+
+
+def _edge_conv(x, kernel, bias=None, dtype=None, quant=False):
     """3x3 VALID conv over an edge-padded input (resize-clamp semantics)."""
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
-    return _conv(xp, kernel, bias, padding="VALID", dtype=dtype)
+    return _conv(xp, kernel, bias, padding="VALID", dtype=dtype, quant=quant)
 
 
 def _amajor_cols(cout: int) -> np.ndarray:
@@ -151,8 +185,8 @@ def _phase_selector() -> np.ndarray:
 
 
 def planar_tail_conv(z: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
-                     dtype, in_perm: "np.ndarray | None" = None
-                     ) -> jnp.ndarray:
+                     dtype, in_perm: "np.ndarray | None" = None,
+                     quant: bool = False) -> jnp.ndarray:
     """conv3x3-after-shuffle as ONE dense planar conv, c-major in/out.
 
     z (..., H, W, 4*Cin) planar (c,a,b c-major); kernel (3,3,Cin,Cout).
@@ -171,11 +205,11 @@ def planar_tail_conv(z: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
         # re-index the kernel rows, never the activations
         kc = kc[:, :, np.asarray(in_perm), :]
     bias4 = jnp.repeat(bias, 4)                    # c-major
-    return _conv(z, kc, bias4, padding="SAME", dtype=dtype)
+    return _conv(z, kc, bias4, padding="SAME", dtype=dtype, quant=quant)
 
 
 def planar_tail_conv_split(z: jnp.ndarray, kernel: jnp.ndarray,
-                           bias: jnp.ndarray, dtype
+                           bias: jnp.ndarray, dtype, quant: bool = False
                            ) -> Tuple[jnp.ndarray, np.ndarray]:
     """conv3x3-after-shuffle as TWO row-phase convs at 2/3 the dense MACs.
 
@@ -205,11 +239,8 @@ def planar_tail_conv_split(z: jnp.ndarray, kernel: jnp.ndarray,
     for a, (rows, pad_h) in enumerate((( (0, 2), (1, 0)),
                                        ((1, 3), (0, 1)))):
         ka = kc[rows[0]:rows[1]][:, :, :, cols_a[a]]     # (2,3,4Cin,2Cout)
-        y = jax.lax.conv_general_dilated(
-            z.astype(dtype), ka.astype(dtype), (1, 1),
-            [pad_h, (1, 1)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        outs.append(y + bias4[cols_a[a]].astype(dtype))
+        outs.append(_conv(z, ka, bias4[cols_a[a]],
+                          padding=[pad_h, (1, 1)], dtype=dtype, quant=quant))
     out = jnp.concatenate(outs, axis=-1)
     order = np.concatenate(cols_a)                  # out position -> c-major
     return out, order
@@ -232,6 +263,11 @@ def planar_apply(params: Dict, cfg: ModelConfig, net_in: jnp.ndarray
     p = params["params"] if "params" in params else params
     dtype = jnp.dtype(cfg.compute_dtype)
     F = cfg.num_features
+    # int8 PTQ covers the FLOP-dominant middle (trunk blocks, post1-post3);
+    # `pre` keeps full precision on the raw G-buffer (8-bit input depth
+    # would starve the residual prediction) and `out` keeps full precision
+    # into the reconstruction (the depth channel evaluates at ~59 dB).
+    q8 = bool(getattr(cfg, "planar_int8", False))
 
     # trunk: fold the nested->flat input permutation into the pre kernel
     pre_k = p["pre"]["kernel"]
@@ -242,10 +278,10 @@ def planar_apply(params: Dict, cfg: ModelConfig, net_in: jnp.ndarray
     feat = jax.nn.relu(_conv(x, pre_k, p["pre"]["bias"], dtype=dtype))
     for i in range(cfg.num_residual_blocks):
         y = _conv(feat, p[f"block{i}_conv1"]["kernel"],
-                  p[f"block{i}_conv1"]["bias"], dtype=dtype)
+                  p[f"block{i}_conv1"]["bias"], dtype=dtype, quant=q8)
         y = jax.nn.relu(y)
         y = _conv(y, p[f"block{i}_conv2"]["kernel"],
-                  p[f"block{i}_conv2"]["bias"], dtype=dtype)
+                  p[f"block{i}_conv2"]["bias"], dtype=dtype, quant=q8)
         feat = feat + y
 
     # F1: upsample x2 + post1 composed -> (h, w, 4F) c-major, then ONE cheap
@@ -253,26 +289,28 @@ def planar_apply(params: Dict, cfg: ModelConfig, net_in: jnp.ndarray
     from isosurfacesuperresolution_tpu.ops.resize import pixel_shuffle
     k1 = compose_up2x_conv3x3(p["post1"]["kernel"], cfg.upsample)
     b1 = up2x_conv_bias(p["post1"]["bias"])
-    z = jax.nn.relu(_edge_conv(feat, k1, b1, dtype=dtype))
+    z = jax.nn.relu(_edge_conv(feat, k1, b1, dtype=dtype, quant=q8))
     z = pixel_shuffle(z, 2)                        # (2h, 2w, F)
 
     # F2: upsample x2 + post2 composed, c-major planar output @540p
     k2 = compose_up2x_conv3x3(p["post2"]["kernel"], cfg.upsample)
     b2 = up2x_conv_bias(p["post2"]["bias"])
-    z = jax.nn.relu(_edge_conv(z, k2, b2, dtype=dtype))
+    z = jax.nn.relu(_edge_conv(z, k2, b2, dtype=dtype, quant=q8))
 
     # post3 + out: planar convs, c-major in/out, no interleaves.  The
     # split formulation does post3 at 2/3 the dense MACs with full-lane
     # outputs; its channel order folds into the out conv's kernel rows.
     if getattr(cfg, "planar_split_tail", False):
         z, order = planar_tail_conv_split(z, p["post3"]["kernel"],
-                                          p["post3"]["bias"], dtype)
+                                          p["post3"]["bias"], dtype,
+                                          quant=q8)
         z = jax.nn.relu(z)
         z = planar_tail_conv(z, p["out"]["kernel"], p["out"]["bias"],
                              dtype, in_perm=order)
     else:
         z = jax.nn.relu(planar_tail_conv(z, p["post3"]["kernel"],
-                                         p["post3"]["bias"], dtype))
+                                         p["post3"]["bias"], dtype,
+                                         quant=q8))
         z = planar_tail_conv(z, p["out"]["kernel"], p["out"]["bias"],
                              dtype)
     z = z.astype(jnp.float32)                      # (2h, 2w, 24) c-major

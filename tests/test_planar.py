@@ -205,3 +205,23 @@ def test_planar_split_tail_matches_dense():
     b = np.asarray(planar_apply(
         params, dataclasses.replace(cfg, planar_split_tail=True), x))
     np.testing.assert_allclose(a, b, atol=2e-6)
+
+
+def test_planar_int8_close():
+    """int8-PTQ planar path (ModelConfig.planar_int8) stays close to the
+    f32 reference: per-output-channel weight scales + dynamic per-tensor
+    activation scales bound the middle-of-net error; pre/out convs and the
+    residual reconstruction stay full precision (infer/planar._conv_int8)."""
+    model, params, x, x_planar = _params_and_input(CFG)
+    y_std, _ = model.apply(params, x)
+    cfg_q = dataclasses.replace(CFG, planar_int8=True)
+    y_q = pixel_shuffle(
+        state_to_flat(planar_apply(params, cfg_q, x_planar)), 4)
+    d = np.abs(np.asarray(y_std) - np.asarray(y_q))[:, 8:-8, 8:-8]
+    assert d.max() < 0.08, d.max()
+    assert d.mean() < 0.01, d.mean()
+    # and it must actually quantize: the jaxpr contains s8 convs
+    import jax as _jax
+    jaxpr = str(_jax.make_jaxpr(
+        lambda p_, x_: planar_apply(p_, cfg_q, x_))(params, x_planar))
+    assert "i8[" in jaxpr
