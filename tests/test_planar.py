@@ -225,3 +225,9 @@ def test_planar_int8_close():
     jaxpr = str(_jax.make_jaxpr(
         lambda p_, x_: planar_apply(p_, cfg_q, x_))(params, x_planar))
     assert "i8[" in jaxpr
+    # combined with the split row-phase tail (bench.py --int8 --split)
+    cfg_qs = dataclasses.replace(cfg_q, planar_split_tail=True)
+    y_qs = pixel_shuffle(
+        state_to_flat(planar_apply(params, cfg_qs, x_planar)), 4)
+    d = np.abs(np.asarray(y_std) - np.asarray(y_qs))[:, 8:-8, 8:-8]
+    assert d.max() < 0.08, d.max()
