@@ -154,7 +154,7 @@ def packed_conv3x3(xp: jnp.ndarray, k3: jnp.ndarray, bias: jnp.ndarray,
         functools.partial(_kernel, relu=relu, th=th, w_out=W2),
         grid=(n_bands,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((3, C2, C2), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, 2, C2, C2), lambda i: (0, 0, 0, 0),

@@ -108,7 +108,7 @@ def conv3x3_pallas_p128(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
         functools.partial(_kernel, relu=relu, th=th, w_out=W),
         grid=(n_bands,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((9, C, Cout), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Cout), lambda i: (0, 0),

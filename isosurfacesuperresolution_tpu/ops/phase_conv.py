@@ -191,7 +191,7 @@ def phase_conv3x3_amajor(x: jnp.ndarray, k3: jnp.ndarray, bias: jnp.ndarray,
         functools.partial(_kernel, relu=relu, th=th, w_out=W),
         grid=(n_bands,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((C4, 2 * F), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((C4, C4), lambda i: (0, 0),

@@ -218,11 +218,11 @@ def march_pallas(vol_zxy: jnp.ndarray,        # (Z, X, Y) slice-major
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
-        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
     ]
     inputs = [meta, vol_zxy.astype(store_dtype)]
     if has_ao:
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         inputs.append(ao_zcxy.astype(dtype))
     in_specs += [
         pl.BlockSpec((1, Sn), lambda k: (0, 0), memory_space=pltpu.VMEM),

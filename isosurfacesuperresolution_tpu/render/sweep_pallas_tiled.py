@@ -270,7 +270,7 @@ def march_pallas_tiled(vol_zxy: jnp.ndarray,      # (Z, X, Y) slice-major
                          memory_space=pltpu.SMEM),   # pairs row k
             pl.BlockSpec((1, NTY), lambda k: (k, 0),
                          memory_space=pltpu.SMEM),   # ybits row k
-            pl.BlockSpec(memory_space=pltpu.ANY),    # volume
+            pl.BlockSpec(memory_space=pl.ANY),    # volume
             pl.BlockSpec((1, Sn), lambda k: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Tn), lambda k: (0, 0),
