@@ -322,7 +322,7 @@ def main(argv=None) -> None:
     from isosurfacesuperresolution_tpu.parallel.mesh import (
         make_mesh, make_sharded_train_step, replicate)
     from isosurfacesuperresolution_tpu.train.checkpoint import (
-        CheckpointManager, next_run_dir, write_info)
+        CheckpointManager, next_run_dir, save_params_npz, write_info)
     from isosurfacesuperresolution_tpu.train.trainer import (
         create_train_state, epoch_learning_rate, make_adv_train_steps,
         make_eval_step, make_optimizer, make_train_step)
@@ -426,6 +426,15 @@ def main(argv=None) -> None:
             state = state._replace(
                 params=load_params_npz(args.pretrained, state.params))
             print(f"pretrained generator from {args.pretrained}")
+        elif (not os.path.isdir(os.path.join(args.pretrained, "checkpoints"))
+              and os.path.exists(os.path.join(args.pretrained,
+                                              "params.npz"))):
+            # committed-artifact run dir (params.npz only; see ckpt.save)
+            from isosurfacesuperresolution_tpu.train.checkpoint import (
+                load_params_npz)
+            state = state._replace(params=load_params_npz(
+                os.path.join(args.pretrained, "params.npz"), state.params))
+            print(f"pretrained generator from {args.pretrained}/params.npz")
         else:
             pre_mgr = CheckpointManager(args.pretrained)
             params, epoch = pre_mgr.restore_params(state.params,
@@ -515,6 +524,14 @@ def main(argv=None) -> None:
 
         if epoch % t.checkpoint_every == 0:
             ckpt.save(epoch, state)
+            # small git-committable artifact next to the orbax tree: the
+            # host VM can be recycled between sessions (wiping anything
+            # uncommitted), and config.json + params.npz is all inference
+            # needs (LoadedModel.from_run_dir falls back to it)
+            save_params_npz(os.path.join(run_dir, "params.npz"),
+                            jax.device_get(state.params))
+    save_params_npz(os.path.join(run_dir, "params.npz"),
+                    jax.device_get(state.params))
     writer.close()
     print("done; checkpoints in", run_dir)
 

@@ -83,8 +83,21 @@ class LoadedModel:
         cin = network_input_channels(cfg.model)
         template = model.init(jax.random.PRNGKey(0),
                               jnp.zeros((1, 8, 8, cin)))
-        mgr = CheckpointManager(run_dir)
-        params, _ = mgr.restore_params(template, epoch)
+        npz = os.path.join(run_dir, "params.npz")
+        has_orbax = any(n.isdigit() for n in
+                        os.listdir(os.path.join(run_dir, "checkpoints"))
+                        ) if os.path.isdir(
+                            os.path.join(run_dir, "checkpoints")) else False
+        if not has_orbax and os.path.exists(npz):
+            # git-committed artifact run dirs carry only config.json +
+            # params.npz (orbax trees are too heavy to commit and the VM
+            # hosting runs/ can be recycled between sessions)
+            from isosurfacesuperresolution_tpu.train.checkpoint import (
+                load_params_npz)
+            params = load_params_npz(npz, template)
+        else:
+            mgr = CheckpointManager(run_dir)
+            params, _ = mgr.restore_params(template, epoch)
         return cls(model, params, cfg)
 
     @classmethod

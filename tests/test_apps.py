@@ -45,6 +45,28 @@ def test_loaded_model_from_run_dir(trained_run):
     assert pred2.shape == (1, 32, 32, 6)
 
 
+def test_artifact_run_dir_npz_fallback(trained_run, tmp_path):
+    """A git-committable artifact run dir (config.json + params.npz, no
+    orbax tree) restores through the same LoadedModel.from_run_dir and
+    yields the exact orbax-checkpointed params.  Exists because the host
+    VM is recycled between sessions: orbax trees are too heavy to commit,
+    params.npz is not."""
+    import shutil
+
+    import jax
+    from isosurfacesuperresolution_tpu.infer.loadedmodel import LoadedModel
+    assert os.path.exists(os.path.join(trained_run, "params.npz"))
+    art = str(tmp_path / "artifact_run")
+    os.makedirs(art)
+    for name in ("config.json", "params.npz"):
+        shutil.copy(os.path.join(trained_run, name), os.path.join(art, name))
+    lm_full = LoadedModel.from_run_dir(trained_run)
+    lm_art = LoadedModel.from_run_dir(art)
+    for a, b in zip(jax.tree_util.tree_leaves(lm_full.params),
+                    jax.tree_util.tree_leaves(lm_art.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
 def test_restore_continues_training(trained_run, tmp_path):
     from isosurfacesuperresolution_tpu.apps.main_video_unshaded import main
     run_base = str(tmp_path / "runs2")
