@@ -59,6 +59,10 @@ def build_parser():
     p.add_argument("--downscale_factor", type=int, default=0,
                    help="also re-render 1/N resolution (0 = off)")
     p.add_argument("--renderer", type=str, default="sweep")
+    p.add_argument("--sparse", action="store_true",
+                   help="pack into sparse tile-atlas storage (GVDB-atlas "
+                        "parity; forces renderer=sweep_pallas, reference "
+                        "tolerance 1e-3)")
     p.add_argument("--saveGbuffer", action="store_true")
     p.add_argument("--saveExr", action="store_true",
                    help="also write the frame as reference-layout EXRs "
@@ -89,6 +93,14 @@ def main(argv=None):
     from isosurfacesuperresolution_tpu.render.ssao import apply_screen_ao
 
     grid, vol_name = load_volume(args.volume)
+    if args.sparse:
+        if args.ao != "none":
+            raise SystemExit("--sparse supports --ao none only (bake or "
+                             "densify for AO)")
+        from isosurfacesuperresolution_tpu.volume.packed import (
+            SparseBrickGrid)
+        grid = SparseBrickGrid.from_brick_grid(grid, tolerance=1e-3)
+        args.renderer = "sweep_pallas"
     w, h = int(args.res[0]), int(args.res[1])
 
     tf = None

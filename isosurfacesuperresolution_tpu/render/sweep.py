@@ -69,13 +69,19 @@ def _sweep_permuted(values: jnp.ndarray,      # (X, Y, Z) permuted volume
                     cfg: RenderConfig,
                     perm: Tuple[int, int, int],
                     ao_field: "jnp.ndarray | None" = None,
-                    rp=None) -> jnp.ndarray:
+                    rp=None,
+                    packed_axis=None) -> jnp.ndarray:
     if rp is None:
         from isosurfacesuperresolution_tpu.render.params import RenderParams
         rp = RenderParams.from_config(cfg)
     use_volume_ao = ao_field is not None
     W, H = cfg.width, cfg.height
-    X, Y, Z = values.shape
+    if packed_axis is not None:
+        # sparse packed-tile storage (volume/packed.py): values is None,
+        # the per-axis atlas replaces the dense array on the tiled path
+        Z, X, Y = packed_axis.shape
+    else:
+        X, Y, Z = values.shape
     zss = cfg.sweep_z_supersample
     K = Z * zss
     Sn = int(round(W * cfg.sweep_oversample))
@@ -111,7 +117,10 @@ def _sweep_permuted(values: jnp.ndarray,      # (X, Y, Z) permuted volume
     s_grid = s_min + (jnp.arange(Sn, dtype=jnp.float32) + 0.5) * ds
     t_grid = t_min + (jnp.arange(Tn, dtype=jnp.float32) + 0.5) * dt
 
-    vmax_z = jnp.max(values, axis=(0, 1))      # per-slice max for culling
+    if packed_axis is not None:
+        vmax_z = packed_axis.slice_max         # precomputed at pack time
+    else:
+        vmax_z = jnp.max(values, axis=(0, 1))  # per-slice max for culling
 
     zero = jnp.zeros((Sn, Tn), jnp.float32)
     inv_zss = 1.0 / zss
@@ -221,13 +230,22 @@ def _sweep_permuted(values: jnp.ndarray,      # (X, Y, Z) permuted volume
              jnp.full_like(zcs, iso),
              jnp.full_like(zcs, eye_p[0]),
              jnp.full_like(zcs, eye_p[1])], axis=1)
-        vol_zxy = jnp.transpose(values, (2, 0, 1))
-        ao_zcxy = (jnp.transpose(ao_field, (2, 3, 0, 1))
-                   if use_volume_ao else None)
         tile = cfg.sweep_tile
         use_tiled = (not use_volume_ao) and (
             tile > 0 or (tile == 0 and max(X, Y) >= 512))
-        if use_tiled:
+        if packed_axis is not None:
+            # sparse storage: the atlas-indirect variant of the tiled
+            # kernel; no dense (Z, X, Y) array ever materializes
+            from isosurfacesuperresolution_tpu.render.sweep_pallas_tiled \
+                import march_pallas_packed
+            brick_max_p = jnp.transpose(grid.brick_max, perm)
+            m_hit, frac, g_s, g_t, g_z = march_pallas_packed(
+                packed_axis, meta, s_grid, t_grid, Sn, Tn, brick_max_p,
+                grid.brick_size, iso, dtype=mm_dtype,
+                scale=grid.value_scale, offset=grid.value_offset)
+            sh_hit = zero4
+        elif use_tiled:
+            vol_zxy = jnp.transpose(values, (2, 0, 1))
             # large-volume path: occupancy-gated 2D-tiled streaming -
             # DMA and resample FLOPs scale with the occupied fraction
             from isosurfacesuperresolution_tpu.render.sweep_pallas_tiled \
@@ -241,6 +259,9 @@ def _sweep_permuted(values: jnp.ndarray,      # (X, Y, Z) permuted volume
                 scale=grid.value_scale, offset=grid.value_offset)
             sh_hit = zero4
         else:
+            vol_zxy = jnp.transpose(values, (2, 0, 1))
+            ao_zcxy = (jnp.transpose(ao_field, (2, 3, 0, 1))
+                       if use_volume_ao else None)
             res = march_pallas(
                 vol_zxy, meta, s_grid, t_grid, Sn, Tn, dtype=mm_dtype,
                 scale=grid.value_scale, offset=grid.value_offset,
@@ -408,10 +429,28 @@ def render_gbuffer_sweep(grid: BrickGrid, cam: CameraParams,
         raise ValueError("ao_mode='volume' needs a baked occlusion field; "
                          "call render.ao_sweep.attach_baked_ao(grid, cfg)")
 
-    def make_branch(perm):
+    from isosurfacesuperresolution_tpu.volume.packed import SparseBrickGrid
+    packed = isinstance(grid, SparseBrickGrid)
+    if packed:
+        if cfg.renderer != "sweep_pallas":
+            raise ValueError(
+                "SparseBrickGrid requires renderer='sweep_pallas' (the "
+                "tiled atlas kernel); densify with grid.to_brick_grid() "
+                "for the scan/march paths")
+        if cfg.ao_samples > 0 and not use_ao_field:
+            raise ValueError(
+                "hemisphere-ray AO needs dense values; set ao_samples=0 "
+                "or densify with grid.to_brick_grid()")
+
+    def make_branch(i, perm):
         def branch():
-            values = jnp.transpose(grid.values, perm)
             pidx = jnp.asarray(perm)
+            if packed:
+                return _sweep_permuted(None, eye_vox[pidx], M[pidx, :],
+                                       flip, grid, cam, cam_flow, cfg,
+                                       perm, ao_field=None, rp=rp,
+                                       packed_axis=grid.per_axis[i])
+            values = jnp.transpose(grid.values, perm)
             ao_field = (jnp.transpose(grid.ao_sh, perm + (3,))
                         if use_ao_field else None)
             return _sweep_permuted(values, eye_vox[pidx], M[pidx, :], flip,
@@ -419,4 +458,5 @@ def render_gbuffer_sweep(grid: BrickGrid, cam: CameraParams,
                                    ao_field=ao_field, rp=rp)
         return branch
 
-    return jax.lax.switch(axis, [make_branch(p) for p in _PERMS])
+    return jax.lax.switch(axis,
+                          [make_branch(i, p) for i, p in enumerate(_PERMS)])

@@ -23,6 +23,18 @@ this kernel is the sweep's answer to GVDB's node culling
 Per frame at 1024^3 with ~10 % occupancy this is ~0.2 GB DMA + ~0.5
 TFLOP instead of 2 GB + 4.3 TFLOP.
 
+Two storage backends share the same kernel body (static ``packed`` flag):
+
+  * **dense** (`march_pallas_tiled`): the (Z, X, Y) array lives whole in
+    HBM; the per-pair DMA reads a (2, TX, TY) window of it.
+  * **packed** (`march_pallas_packed`): only non-background tiles live in
+    HBM, in a flat (N, TX, TY) atlas (`volume/packed.PackedAxisVolume` -
+    the GVDB-atlas equivalent); the per-pair DMA reads ``atlas[slot]``
+    for the two z planes.  The slot indirection (GVDB's node lookup) is
+    resolved OUTSIDE the kernel into two (K, P) int32 tables, windowed
+    into SMEM one slice-row at a time - so HBM *storage*, not just
+    traffic, scales with occupancy.
+
 Used when ``RenderConfig.renderer == "sweep_pallas"`` and the permuted
 slice plane is at least ``_TILE_THRESHOLD`` wide; parity with the flat
 kernel is bounded by tests/test_sweep_tiled.py (interpret mode).
@@ -39,18 +51,29 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _tiled_kernel(meta_ref,        # SMEM (1, 8) f32 window (row k)
-                  count_ref,       # SMEM (K,) i32 occupied-pair count
-                  pairs_ref,       # SMEM (1, P) i32 window (row k)
-                  ybits_ref,       # SMEM (1, NTY) i32 window (row k)
-                  vol_hbm,         # ANY (Z, X, Y) volume
-                  sg_ref, tg_ref,  # VMEM (1, Sn) / (1, Tn)
-                  mhit_ref, frac_ref, fm1_ref, gs_ref, gt_ref, gz_ref,
-                  tmp_ref,         # VMEM (Sn, Y) f32 row accumulator
-                  s0, s1, sems,
-                  *, Sn: int, Tn: int, X: int, Y: int,
+def _tiled_kernel(*refs,
+                  Sn: int, Tn: int, X: int, Y: int,
                   TX: int, TY: int, NTY: int, P: int, mm_dtype,
-                  scale: float = 1.0, offset: float = 0.0):
+                  scale: float = 1.0, offset: float = 0.0,
+                  packed: bool = False):
+    if packed:
+        (meta_ref,        # SMEM (1, 8) f32 window (row k)
+         count_ref,       # SMEM (K,) i32 occupied-pair count
+         pairs_ref,       # SMEM (1, P) i32 window (row k)
+         slots0_ref,      # SMEM (1, P) i32 atlas slot of plane zf
+         slots1_ref,      # SMEM (1, P) i32 atlas slot of plane zf+1
+         ybits_ref,       # SMEM (1, NTY) i32 window (row k)
+         vol_hbm,         # ANY (N, TX, TY) packed atlas
+         sg_ref, tg_ref,  # VMEM (1, Sn) / (1, Tn)
+         mhit_ref, frac_ref, fm1_ref, gs_ref, gt_ref, gz_ref,
+         tmp_ref,         # VMEM (Sn, Y) f32 row accumulator
+         s0, s1, sems) = refs
+    else:
+        (meta_ref, count_ref, pairs_ref, ybits_ref,
+         vol_hbm,         # ANY (Z, X, Y) dense volume
+         sg_ref, tg_ref,
+         mhit_ref, frac_ref, fm1_ref, gs_ref, gt_ref, gz_ref,
+         tmp_ref, s0, s1, sems) = refs
     k = pl.program_id(0)
 
     lam = meta_ref[0, 1]
@@ -70,16 +93,37 @@ def _tiled_kernel(meta_ref,        # SMEM (1, 8) f32 window (row k)
         gt_ref[:] = jnp.zeros((Sn, Tn), jnp.float32)
         gz_ref[:] = jnp.zeros((Sn, Tn), jnp.float32)
 
-    def dma_pair(i, slot_idx):
-        """Start the (2, TX, TY) block copy of occupied pair i."""
+    def dma_descs(i, slot_idx):
+        """Copy descriptors for occupied pair i into scratch slot_idx.
+
+        Re-constructed identically at start and wait time (the Pallas
+        async-copy contract); slot_idx is static."""
+        dst = (s0, s1)[slot_idx]
+        if packed:
+            return [
+                pltpu.make_async_copy(
+                    vol_hbm.at[pl.ds(slots0_ref[0, i], 1)],
+                    dst.at[pl.ds(0, 1)], sems.at[slot_idx, 0]),
+                pltpu.make_async_copy(
+                    vol_hbm.at[pl.ds(slots1_ref[0, i], 1)],
+                    dst.at[pl.ds(1, 1)], sems.at[slot_idx, 1]),
+            ]
         pid = pairs_ref[0, i]
         xt = pid // NTY
         yt = pid - xt * NTY
         zfi = meta_ref[0, 2].astype(jnp.int32)
-        return pltpu.make_async_copy(
+        return [pltpu.make_async_copy(
             vol_hbm.at[pl.ds(zfi, 2), pl.ds(xt * TX, TX),
                        pl.ds(yt * TY, TY)],
-            (s0, s1)[slot_idx], sems.at[slot_idx])
+            dst, sems.at[slot_idx])]
+
+    def dma_start(i, slot_idx):
+        for d in dma_descs(i, slot_idx):
+            d.start()
+
+    def dma_wait(i, slot_idx):
+        for d in dma_descs(i, slot_idx):
+            d.wait()
 
     @pl.when(do & (n > 0))
     def _():
@@ -90,20 +134,19 @@ def _tiled_kernel(meta_ref,        # SMEM (1, 8) f32 window (row k)
                 tmp_ref[:, yt * TY:(yt + 1) * TY] = jnp.zeros(
                     (Sn, TY), jnp.float32)
 
-        dma_pair(0, 0).start()
+        dma_start(0, 0)
 
         def body(i, carry):
             @pl.when(i + 1 < n)
             def _():
                 jax.lax.cond((i + 1) % 2 == 0,
-                             lambda: dma_pair(i + 1, 0).start(),
-                             lambda: dma_pair(i + 1, 1).start())
+                             lambda: dma_start(i + 1, 0),
+                             lambda: dma_start(i + 1, 1))
 
-            def accum(slot):
-                # wait on the exact descriptor started for pair i
-                jax.lax.cond(i % 2 == 0,
-                             lambda: dma_pair(i, 0).wait(),
-                             lambda: dma_pair(i, 1).wait())
+            def accum(slot_idx):
+                slot = (s0, s1)[slot_idx]
+                # wait on the exact descriptors started for pair i
+                dma_wait(i, slot_idx)
                 pid = pairs_ref[0, i]
                 xt = pid // NTY
                 yt = pid - xt * NTY
@@ -131,7 +174,7 @@ def _tiled_kernel(meta_ref,        # SMEM (1, 8) f32 window (row k)
                 cur = tmp_ref[:, pl.ds(yt * TY, TY)]
                 tmp_ref[:, pl.ds(yt * TY, TY)] = cur + part
 
-            jax.lax.cond(i % 2 == 0, lambda: accum(s0), lambda: accum(s1))
+            jax.lax.cond(i % 2 == 0, lambda: accum(0), lambda: accum(1))
             return carry
 
         jax.lax.fori_loop(0, n, body, 0)
@@ -212,6 +255,18 @@ def _tile_occupancy(brick_max: jnp.ndarray, brick_size: int,
     return occ
 
 
+def _pair_lists(occ: jnp.ndarray, meta: jnp.ndarray, K: int, P: int):
+    """Compact per-slice occupied-pair id lists + counts + column bits."""
+    occ = occ & (meta[:, 4:5, None] > 0.5)          # invalid slices: empty
+    occ_flat = occ.reshape(K, P)
+    counts = jnp.sum(occ_flat, axis=1).astype(jnp.int32)
+    # occupied pair ids first (order within the slice is irrelevant)
+    order = jnp.argsort(~occ_flat, axis=1, stable=True)
+    pairs = order.astype(jnp.int32)
+    ybits = jnp.any(occ, axis=1).astype(jnp.int32)  # (K, NTY)
+    return pairs, counts, ybits
+
+
 def march_pallas_tiled(vol_zxy: jnp.ndarray,      # (Z, X, Y) slice-major
                       meta: jnp.ndarray,          # (K, 8) f32
                       s_grid: jnp.ndarray, t_grid: jnp.ndarray,
@@ -235,6 +290,7 @@ def march_pallas_tiled(vol_zxy: jnp.ndarray,      # (Z, X, Y) slice-major
 
     def _pick(extent: int) -> int:
         # largest divisor of the axis extent not exceeding `tile`
+        # (must match volume/packed.pick_tile)
         for cand in range(min(tile, extent), 0, -1):
             if extent % cand == 0:
                 return cand
@@ -246,18 +302,12 @@ def march_pallas_tiled(vol_zxy: jnp.ndarray,      # (Z, X, Y) slice-major
     zfs = meta[:, 2].astype(jnp.int32)
     occ = _tile_occupancy(brick_max_p, brick_size, zfs, iso, X, Y, TX,
                           TY)                       # (K, NTX, NTY)
-    occ = occ & (meta[:, 4:5, None] > 0.5)          # invalid slices: empty
-    occ_flat = occ.reshape(K, P)
-    counts = jnp.sum(occ_flat, axis=1).astype(jnp.int32)
-    # occupied pair ids first (order within the slice is irrelevant)
-    order = jnp.argsort(~occ_flat, axis=1, stable=True)
-    pairs = order.astype(jnp.int32)
-    ybits = jnp.any(occ, axis=1).astype(jnp.int32)  # (K, NTY)
+    pairs, counts, ybits = _pair_lists(occ, meta, K, P)
 
     outs = pl.pallas_call(
         functools.partial(_tiled_kernel, Sn=Sn, Tn=Tn, X=X, Y=Y,
                           TX=TX, TY=TY, NTY=NTY, P=P, mm_dtype=dtype,
-                          scale=scale, offset=offset),
+                          scale=scale, offset=offset, packed=False),
         grid=(K,),
         in_specs=[
             # (1, .) SMEM windows: a full (K, .) SMEM residency pads
@@ -288,5 +338,85 @@ def march_pallas_tiled(vol_zxy: jnp.ndarray,      # (Z, X, Y) slice-major
         interpret=interpret,
     )(meta, counts, pairs, ybits, vol_zxy.astype(store_dtype),
       s_grid[None], t_grid[None])
+    m_hit, frac, _, g_s, g_t, g_z = outs
+    return m_hit, frac, g_s, g_t, g_z
+
+
+def march_pallas_packed(packed_axis,               # volume/packed axis data
+                        meta: jnp.ndarray,          # (K, 8) f32
+                        s_grid: jnp.ndarray, t_grid: jnp.ndarray,
+                        Sn: int, Tn: int,
+                        brick_max_p: jnp.ndarray,   # permuted (bx, by, bz)
+                        brick_size: int,
+                        iso,
+                        interpret: "bool | None" = None,
+                        dtype=jnp.bfloat16,
+                        scale: float = 1.0, offset: float = 0.0):
+    """Sparse-storage tiled march over a `volume/packed.PackedAxisVolume`.
+
+    Same contract and kernel body as `march_pallas_tiled`; the per-pair
+    DMA reads the two z planes from the packed atlas via SMEM slot rows
+    instead of windowing a dense array (GVDB-atlas parity: only occupied
+    tiles exist in HBM, `Vdb2Vbx.cpp:70-324`)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    dtype = jnp.dtype(dtype)
+    atlas = packed_axis.atlas
+    store_dtype = (jnp.uint8 if atlas.dtype == jnp.uint8 else dtype)
+    Z, X, Y = packed_axis.shape
+    TX, TY = packed_axis.tile_shape
+    NTX, NTY = X // TX, Y // TY
+    P = NTX * NTY
+    K = meta.shape[0]
+
+    zfs = meta[:, 2].astype(jnp.int32)
+    occ = _tile_occupancy(brick_max_p, brick_size, zfs, iso, X, Y, TX,
+                          TY)                       # (K, NTX, NTY)
+    pairs, counts, ybits = _pair_lists(occ, meta, K, P)
+
+    # resolve the atlas indirection in-graph: slot of each pair's tile at
+    # the two blend planes (zf is pre-clipped to [0, Z-2] by slice_meta)
+    xt = pairs // NTY
+    yt = pairs - xt * NTY
+    z0 = jnp.clip(zfs, 0, Z - 1)[:, None]
+    z1 = jnp.clip(zfs + 1, 0, Z - 1)[:, None]
+    slots0 = packed_axis.slots[z0, xt, yt].astype(jnp.int32)   # (K, P)
+    slots1 = packed_axis.slots[z1, xt, yt].astype(jnp.int32)
+
+    outs = pl.pallas_call(
+        functools.partial(_tiled_kernel, Sn=Sn, Tn=Tn, X=X, Y=Y,
+                          TX=TX, TY=TY, NTY=NTY, P=P, mm_dtype=dtype,
+                          scale=scale, offset=offset, packed=True),
+        grid=(K,),
+        in_specs=[
+            pl.BlockSpec((1, 8), lambda k: (k, 0),
+                         memory_space=pltpu.SMEM),   # meta row k
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # counts
+            pl.BlockSpec((1, P), lambda k: (k, 0),
+                         memory_space=pltpu.SMEM),   # pairs row k
+            pl.BlockSpec((1, P), lambda k: (k, 0),
+                         memory_space=pltpu.SMEM),   # slots0 row k
+            pl.BlockSpec((1, P), lambda k: (k, 0),
+                         memory_space=pltpu.SMEM),   # slots1 row k
+            pl.BlockSpec((1, NTY), lambda k: (k, 0),
+                         memory_space=pltpu.SMEM),   # ybits row k
+            pl.BlockSpec(memory_space=pl.ANY),    # packed atlas
+            pl.BlockSpec((1, Sn), lambda k: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Tn), lambda k: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec((Sn, Tn), lambda k: (0, 0),
+                                memory_space=pltpu.VMEM)] * 6,
+        out_shape=[jax.ShapeDtypeStruct((Sn, Tn), jnp.float32)] * 6,
+        scratch_shapes=[
+            pltpu.VMEM((Sn, Y), jnp.float32),        # tmp accumulator
+            pltpu.VMEM((2, TX, TY), store_dtype),
+            pltpu.VMEM((2, TX, TY), store_dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        interpret=interpret,
+    )(meta, counts, pairs, slots0, slots1, ybits,
+      atlas.astype(store_dtype), s_grid[None], t_grid[None])
     m_hit, frac, _, g_s, g_t, g_z = outs
     return m_hit, frac, g_s, g_t, g_z

@@ -32,7 +32,7 @@ def device_hbm_mb() -> float:
     return stats.get("bytes_in_use", 0) / 1e6
 
 
-def bench_res(res: int, family: str, N: int):
+def bench_res(res: int, family: str, N: int, sparse: bool = False):
     """Generate + bench one volume resolution; returns a result row."""
     import jax
     import jax.numpy as jnp
@@ -67,6 +67,16 @@ def bench_res(res: int, family: str, N: int):
             grid = BrickGrid.from_dense(dense, brick_size=grid.brick_size,
                                         store_dtype=store)
             del dense
+    if sparse:
+        from isosurfacesuperresolution_tpu.volume.packed import (
+            SparseBrickGrid)
+        # reference threshold-to-sparse tolerance (ExternalImporter.cpp:181)
+        grid = SparseBrickGrid.from_brick_grid(grid, tolerance=1e-3)
+        store += "/packed"
+        frac = grid.storage_bytes() / grid.dense_bytes()
+        print(f"[{res}^3] packed storage: {frac:.2f}x dense "
+              f"({grid.storage_bytes() / 1e6:.0f} MB, 3 axes)",
+              file=sys.stderr)
     gen_s = time.time() - t0
     occ = float((grid.brick_max >= 0.36).mean())
     print(f"[{res}^3 {store}] generated in {gen_s:.0f}s, "
@@ -116,6 +126,9 @@ def main() -> None:
     p.add_argument("--frames", type=int, default=10)
     p.add_argument("--family", default="blobs",
                    help="analytic family (blobs|gyroid|turbulence|ejecta)")
+    p.add_argument("--sparse", action="store_true",
+                   help="pack into SparseBrickGrid (atlas-indirect tiled "
+                        "march; storage scales with occupancy)")
     p.add_argument("--cpu", action="store_true",
                    help="hard-pin the CPU backend (sitecustomize re-pins "
                         "to the tunneled TPU otherwise)")
@@ -132,7 +145,8 @@ def main() -> None:
     for res in [int(r) for r in args.res.split(",")]:
         # one bad resolution must not lose the others' rows
         try:
-            rows.append(bench_res(res, args.family, args.frames))
+            rows.append(bench_res(res, args.family, args.frames,
+                                  sparse=args.sparse))
         except Exception:
             print(f"[{res}^3] FAILED:", file=sys.stderr)
             traceback.print_exc()
