@@ -1,0 +1,37 @@
+#!/bin/bash
+# Durable-artifact watcher.
+#
+# The host VM can be recycled at any time, wiping /tmp and the gitignored
+# runs/ directory (this lost round 2's first set of trained checkpoints).
+# This loop snapshots every run's small committable artifacts
+# (params.npz + config.json + info.txt + the crop-eval tables) into the
+# tracked artifacts/ directory and commits them, so trained models survive
+# a recycle.  Commits touch ONLY artifacts/ (git commit -- pathspec), so a
+# concurrently working session never gets its staged files swept in.
+cd "$(dirname "$0")/.."
+mkdir -p artifacts
+while true; do
+  changed=0
+  for d in runs/run00*; do
+    [ -d "$d" ] || continue
+    name=$(basename "$d")
+    mkdir -p "artifacts/$name"
+    for f in params.npz config.json info.txt; do
+      if [ -f "$d/$f" ] && ! cmp -s "$d/$f" "artifacts/$name/$f"; then
+        cp "$d/$f" "artifacts/$name/$f"; changed=1
+      fi
+    done
+  done
+  # Also snapshot queue logs + status so progress is inspectable post-recycle.
+  mkdir -p artifacts/logs
+  for f in /tmp/tpu_queue.status /tmp/q3_*.log; do
+    [ -f "$f" ] || continue
+    b=$(basename "$f")
+    if ! cmp -s "$f" "artifacts/logs/$b"; then cp "$f" "artifacts/logs/$b"; changed=1; fi
+  done
+  if [ "$changed" = 1 ]; then
+    git add artifacts >/dev/null 2>&1
+    git commit -q -m "Snapshot run artifacts and queue logs" -- artifacts || true
+  fi
+  sleep 900
+done
