@@ -94,11 +94,16 @@ def main(argv=None):
 
     grid, vol_name = load_volume(args.volume)
     if args.sparse:
-        if args.ao != "none":
-            raise SystemExit("--sparse supports --ao none only (bake or "
-                             "densify for AO)")
+        if args.ao == "ray":
+            raise SystemExit("--sparse supports --ao none|volume|screen "
+                             "(hemisphere-ray AO needs dense values)")
         from isosurfacesuperresolution_tpu.volume.packed import (
             SparseBrickGrid)
+        if args.ao == "volume":
+            # bake on the dense grid, then pack field + density together
+            from isosurfacesuperresolution_tpu.render.ao_sweep import (
+                attach_baked_ao)
+            grid = attach_baked_ao(grid, args.isovalue, args.aoradius)
         grid = SparseBrickGrid.from_brick_grid(grid, tolerance=1e-3)
         args.renderer = "sweep_pallas"
     w, h = int(args.res[0]), int(args.res[1])
@@ -131,7 +136,8 @@ def main(argv=None):
         ao_samples=args.aosamples if args.ao in ("ray", "volume") else 0,
         ao_radius=args.aoradius,
         ao_mode="volume" if args.ao == "volume" else "ray")
-    if args.ao == "volume":
+    if args.ao == "volume" and not args.sparse:
+        # (--sparse bakes before packing, above)
         from isosurfacesuperresolution_tpu.render.ao_sweep import (
             attach_baked_ao)
         grid = attach_baked_ao(grid, args.isovalue, args.aoradius)

@@ -141,9 +141,12 @@ def render_sequence(grid: BrickGrid, cams: Sequence[CameraParams],
     # bake the SH occlusion field once per clip (isovalue is fixed within a
     # clip) so high-res AO renders at sweep speed instead of hemisphere-ray
     # speed (render/ao_sweep.py)
-    if (seq_cfg.ao_samples > 0 and cfg_high.renderer == "sweep"
+    if (seq_cfg.ao_samples > 0
+            and cfg_high.renderer in ("sweep", "sweep_pallas")
             and cfg_high.ao_mode in ("auto", "volume")
-            and grid.ao_sh is None):
+            and grid.ao_sh is None
+            and getattr(grid, "ao_per_axis", None) is None
+            and hasattr(grid, "values")):   # bake needs dense values
         from isosurfacesuperresolution_tpu.render.ao_sweep import (
             attach_baked_ao)
         iso_bake = (cfg_high.isovalue if rp is None

@@ -70,11 +70,12 @@ def _sweep_permuted(values: jnp.ndarray,      # (X, Y, Z) permuted volume
                     perm: Tuple[int, int, int],
                     ao_field: "jnp.ndarray | None" = None,
                     rp=None,
-                    packed_axis=None) -> jnp.ndarray:
+                    packed_axis=None,
+                    packed_ao=None) -> jnp.ndarray:
     if rp is None:
         from isosurfacesuperresolution_tpu.render.params import RenderParams
         rp = RenderParams.from_config(cfg)
-    use_volume_ao = ao_field is not None
+    use_volume_ao = ao_field is not None or packed_ao is not None
     W, H = cfg.width, cfg.height
     if packed_axis is not None:
         # sparse packed-tile storage (volume/packed.py): values is None,
@@ -231,25 +232,29 @@ def _sweep_permuted(values: jnp.ndarray,      # (X, Y, Z) permuted volume
              jnp.full_like(zcs, eye_p[0]),
              jnp.full_like(zcs, eye_p[1])], axis=1)
         tile = cfg.sweep_tile
-        use_tiled = (not use_volume_ao) and (
-            tile > 0 or (tile == 0 and max(X, Y) >= 512))
+        use_tiled = tile > 0 or (tile == 0 and max(X, Y) >= 512)
         if packed_axis is not None:
             # sparse storage: the atlas-indirect variant of the tiled
             # kernel; no dense (Z, X, Y) array ever materializes
             from isosurfacesuperresolution_tpu.render.sweep_pallas_tiled \
-                import march_pallas_packed
+                import ao_capture_packed, march_pallas_packed
             brick_max_p = jnp.transpose(grid.brick_max, perm)
             m_hit, frac, g_s, g_t, g_z = march_pallas_packed(
                 packed_axis, meta, s_grid, t_grid, Sn, Tn, brick_max_p,
                 grid.brick_size, iso, dtype=mm_dtype,
                 scale=grid.value_scale, offset=grid.value_offset)
-            sh_hit = zero4
+            if packed_ao is not None:
+                sh = ao_capture_packed(packed_ao, meta, s_grid, t_grid,
+                                       Sn, Tn, m_hit, dtype=mm_dtype)
+                sh_hit = jnp.transpose(sh, (1, 2, 0))
+            else:
+                sh_hit = zero4
         elif use_tiled:
             vol_zxy = jnp.transpose(values, (2, 0, 1))
             # large-volume path: occupancy-gated 2D-tiled streaming -
             # DMA and resample FLOPs scale with the occupied fraction
             from isosurfacesuperresolution_tpu.render.sweep_pallas_tiled \
-                import march_pallas_tiled
+                import ao_capture_tiled, march_pallas_tiled
             brick_max_p = jnp.transpose(grid.brick_max, perm)
             m_hit, frac, g_s, g_t, g_z = march_pallas_tiled(
                 vol_zxy, meta, s_grid, t_grid, Sn, Tn, brick_max_p,
@@ -257,7 +262,18 @@ def _sweep_permuted(values: jnp.ndarray,      # (X, Y, Z) permuted volume
                 tile=(tile if tile > 0 else 256),
                 dtype=mm_dtype,
                 scale=grid.value_scale, offset=grid.value_offset)
-            sh_hit = zero4
+            if use_volume_ao:
+                # pass-2 AO capture from m_hit: the flat kernel's in-march
+                # AO slabs (2, 4, X, Y) exceed VMEM at 1024^3; the tiled
+                # capture windows the field at (2, 4, TX, TY)
+                ao_zcxy = jnp.transpose(ao_field, (2, 3, 0, 1))
+                sh = ao_capture_tiled(ao_zcxy, meta, s_grid, t_grid,
+                                      Sn, Tn, m_hit, brick_max_p,
+                                      grid.brick_size, iso,
+                                      dtype=mm_dtype)
+                sh_hit = jnp.transpose(sh, (1, 2, 0))
+            else:
+                sh_hit = zero4
         else:
             vol_zxy = jnp.transpose(values, (2, 0, 1))
             ao_zcxy = (jnp.transpose(ao_field, (2, 3, 0, 1))
@@ -423,14 +439,18 @@ def render_gbuffer_sweep(grid: BrickGrid, cam: CameraParams,
     M = R_wv @ B                                   # world/voxel ray dirs
     eye_vox = grid.world_to_voxel(cam.eye)
 
-    use_ao_field = (cfg.ao_samples > 0 and grid.ao_sh is not None
-                    and cfg.ao_mode in ("auto", "volume"))
-    if cfg.ao_mode == "volume" and cfg.ao_samples > 0 and grid.ao_sh is None:
-        raise ValueError("ao_mode='volume' needs a baked occlusion field; "
-                         "call render.ao_sweep.attach_baked_ao(grid, cfg)")
-
     from isosurfacesuperresolution_tpu.volume.packed import SparseBrickGrid
     packed = isinstance(grid, SparseBrickGrid)
+    has_baked = (grid.ao_per_axis is not None if packed
+                 else grid.ao_sh is not None)
+    use_ao_field = (cfg.ao_samples > 0 and has_baked
+                    and cfg.ao_mode in ("auto", "volume"))
+    if cfg.ao_mode == "volume" and cfg.ao_samples > 0 and not has_baked:
+        raise ValueError("ao_mode='volume' needs a baked occlusion field; "
+                         "call render.ao_sweep.attach_baked_ao(grid, cfg)"
+                         + (" before packing (SparseBrickGrid.from_brick_"
+                            "grid packs it per axis)" if packed else ""))
+
     if packed:
         if cfg.renderer != "sweep_pallas":
             raise ValueError(
@@ -439,8 +459,9 @@ def render_gbuffer_sweep(grid: BrickGrid, cam: CameraParams,
                 "for the scan/march paths")
         if cfg.ao_samples > 0 and not use_ao_field:
             raise ValueError(
-                "hemisphere-ray AO needs dense values; set ao_samples=0 "
-                "or densify with grid.to_brick_grid()")
+                "hemisphere-ray AO needs dense values; set ao_samples=0, "
+                "bake AO before packing (attach_baked_ao + from_brick_"
+                "grid), or densify with grid.to_brick_grid()")
 
     def make_branch(i, perm):
         def branch():
@@ -449,7 +470,10 @@ def render_gbuffer_sweep(grid: BrickGrid, cam: CameraParams,
                 return _sweep_permuted(None, eye_vox[pidx], M[pidx, :],
                                        flip, grid, cam, cam_flow, cfg,
                                        perm, ao_field=None, rp=rp,
-                                       packed_axis=grid.per_axis[i])
+                                       packed_axis=grid.per_axis[i],
+                                       packed_ao=(grid.ao_per_axis[i]
+                                                  if use_ao_field
+                                                  else None))
             values = jnp.transpose(grid.values, perm)
             ao_field = (jnp.transpose(grid.ao_sh, perm + (3,))
                         if use_ao_field else None)

@@ -342,6 +342,289 @@ def march_pallas_tiled(vol_zxy: jnp.ndarray,      # (Z, X, Y) slice-major
     return m_hit, frac, g_s, g_t, g_z
 
 
+def _ao_capture_kernel(*refs,
+                       Sn: int, Tn: int,
+                       TX: int, TY: int, NTY: int, P: int, mm_dtype,
+                       packed: bool = False):
+    """Pass-2 baked-AO capture at the hit plane (tiled).
+
+    Runs AFTER the density march with ``m_hit`` as an input: for slice k,
+    the crossing set is simply ``m_hit == k`` (pass 1 stored the slice
+    index), so capture needs no ordering state - only the slices that
+    contain hits get any DMA or matmul work, and only tiles near the
+    surface are touched.  The second resample factor runs per PAIR (not
+    per column tile): hit slices are few, so the extra (Sn,TY)x(TY,Tn)
+    matmuls cost less than a (4, Sn, Y) row accumulator's VMEM.
+    """
+    if packed:
+        (meta_ref, count_ref, pairs_ref,
+         slots0_ref, slots1_ref,          # SMEM (1, P) int32 windows
+         ao_hbm,                          # ANY (N, 4, TX, TY) packed atlas
+         mhit_ref,                        # VMEM (Sn, Tn) pass-1 hit slice
+         sg_ref, tg_ref,
+         sh_ref,                          # VMEM out (4, Sn, Tn)
+         a0, a1, sems) = refs
+    else:
+        (meta_ref, count_ref, pairs_ref,
+         ao_hbm,                          # ANY (Z, 4, X, Y) dense field
+         mhit_ref, sg_ref, tg_ref, sh_ref,
+         a0, a1, sems) = refs
+    k = pl.program_id(0)
+
+    lam = meta_ref[0, 1]
+    fz = meta_ref[0, 3]
+    eye_s = meta_ref[0, 6]
+    eye_t = meta_ref[0, 7]
+    n = count_ref[k]
+
+    @pl.when(k == 0)
+    def _():
+        sh_ref[:] = jnp.zeros((4, Sn, Tn), jnp.float32)
+
+    def dma_descs(i, slot_idx):
+        dst = (a0, a1)[slot_idx]
+        if packed:
+            return [
+                pltpu.make_async_copy(
+                    ao_hbm.at[pl.ds(slots0_ref[0, i], 1)],
+                    dst.at[pl.ds(0, 1)], sems.at[slot_idx, 0]),
+                pltpu.make_async_copy(
+                    ao_hbm.at[pl.ds(slots1_ref[0, i], 1)],
+                    dst.at[pl.ds(1, 1)], sems.at[slot_idx, 1]),
+            ]
+        pid = pairs_ref[0, i]
+        xt = pid // NTY
+        yt = pid - xt * NTY
+        zfi = meta_ref[0, 2].astype(jnp.int32)
+        return [pltpu.make_async_copy(
+            ao_hbm.at[pl.ds(zfi, 2), pl.ds(0, 4), pl.ds(xt * TX, TX),
+                      pl.ds(yt * TY, TY)],
+            dst, sems.at[slot_idx])]
+
+    def dma_start(i, slot_idx):
+        for d in dma_descs(i, slot_idx):
+            d.start()
+
+    def dma_wait(i, slot_idx):
+        for d in dma_descs(i, slot_idx):
+            d.wait()
+
+    @pl.when(n > 0)
+    def _():
+        # pass-1 stored the crossing slice index as float32(k)
+        cross = mhit_ref[:] == jnp.float32(k)      # (Sn, Tn)
+        dma_start(0, 0)
+
+        def body(i, carry):
+            @pl.when(i + 1 < n)
+            def _():
+                jax.lax.cond((i + 1) % 2 == 0,
+                             lambda: dma_start(i + 1, 0),
+                             lambda: dma_start(i + 1, 1))
+
+            def accum(slot_idx):
+                slot = (a0, a1)[slot_idx]
+                dma_wait(i, slot_idx)
+                pid = pairs_ref[0, i]
+                xt = pid // NTY
+                yt = pid - xt * NTY
+                asl = ((1.0 - fz) * slot[0].astype(jnp.float32)
+                       + fz * slot[1].astype(jnp.float32))  # (4, TX, TY)
+                s_pos = eye_s + lam * (sg_ref[0, :] - eye_s)
+                t_pos = eye_t + lam * (tg_ref[0, :] - eye_t)
+                jx = (jax.lax.broadcasted_iota(jnp.int32, (Sn, TX), 1)
+                      .astype(jnp.float32) + jnp.float32(0.5)
+                      + (xt * TX).astype(jnp.float32))
+                wx = jnp.maximum(0.0, 1.0 - jnp.abs(s_pos[:, None] - jx))
+                jy = (jax.lax.broadcasted_iota(jnp.int32, (Tn, TY), 1)
+                      .astype(jnp.float32) + jnp.float32(0.5)
+                      + (yt * TY).astype(jnp.float32))
+                wy = jnp.maximum(0.0, 1.0 - jnp.abs(t_pos[:, None] - jy))
+                for c in range(4):
+                    tc = jnp.dot(wx.astype(mm_dtype),
+                                 asl[c].astype(mm_dtype),
+                                 preferred_element_type=jnp.float32)
+                    Fc = jnp.dot(tc.astype(mm_dtype),
+                                 wy.T.astype(mm_dtype),
+                                 preferred_element_type=jnp.float32)
+                    sh_ref[c] = sh_ref[c] + jnp.where(cross, Fc, 0.0)
+
+            jax.lax.cond(i % 2 == 0, lambda: accum(0), lambda: accum(1))
+            return carry
+
+        jax.lax.fori_loop(0, n, body, 0)
+
+
+def _dilate_tiles(occ: jnp.ndarray) -> jnp.ndarray:
+    """3x3 tile-space dilation of a (K, NTX, NTY) occupancy mask.
+
+    A crossing pixel's 2-tap footprint can straddle one voxel into a
+    density-empty neighbor tile whose baked-AO VALUE is still nonzero
+    (occlusion extends ~radius into empty space); one tile of dilation is
+    conservative for any tile size >= 1 voxel."""
+    K, NTX, NTY = occ.shape
+    p = jnp.pad(occ, ((0, 0), (1, 1), (1, 1)))
+    out = jnp.zeros_like(occ)
+    for dx in range(3):
+        for dy in range(3):
+            out = out | p[:, dx:dx + NTX, dy:dy + NTY]
+    return out
+
+
+def _slice_has_hit(m_hit: jnp.ndarray, K: int) -> jnp.ndarray:
+    """(K,) bool: does any pixel's pass-1 hit land on slice k."""
+    found = m_hit >= 0.0
+    ki = jnp.clip(m_hit.astype(jnp.int32), 0, K - 1).reshape(-1)
+    return (jnp.zeros((K,), jnp.int32)
+            .at[ki].max(found.reshape(-1).astype(jnp.int32)) > 0)
+
+
+def ao_capture_tiled(ao_zcxy: jnp.ndarray,        # (Z, 4, X, Y) baked SH
+                     meta: jnp.ndarray,           # (K, 8) f32 (pass-1 meta)
+                     s_grid: jnp.ndarray, t_grid: jnp.ndarray,
+                     Sn: int, Tn: int,
+                     m_hit: jnp.ndarray,          # (Sn, Tn) pass-1 output
+                     brick_max_p: jnp.ndarray,
+                     brick_size: int,
+                     iso,
+                     tile: int = 128,
+                     interpret: "bool | None" = None,
+                     dtype=jnp.bfloat16):
+    """Occupancy-gated tiled AO capture; returns sh (4, Sn, Tn) f32.
+
+    Equivalent to the flat kernel's in-march AO path
+    (`sweep_pallas._march_kernel` has_ao) but as a second pass windowing
+    the dense (Z, 4, X, Y) field - DMA and matmuls run only for slices
+    that contain hits and tiles near the surface, and the VMEM footprint
+    is two (2, 4, TX, TY) buffers instead of two full (2, 4, X, Y) slabs
+    (which exceed VMEM at 1024^3)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    dtype = jnp.dtype(dtype)
+    Z, C, X, Y = ao_zcxy.shape
+    K = meta.shape[0]
+
+    def _pick(extent: int) -> int:
+        for cand in range(min(tile, extent), 0, -1):
+            if extent % cand == 0:
+                return cand
+        return extent
+    TX, TY = _pick(X), _pick(Y)
+    NTX, NTY = X // TX, Y // TY
+    P = NTX * NTY
+
+    zfs = meta[:, 2].astype(jnp.int32)
+    occ = _tile_occupancy(brick_max_p, brick_size, zfs, iso, X, Y, TX, TY)
+    occ = _dilate_tiles(occ) & _slice_has_hit(m_hit, K)[:, None, None]
+    pairs, counts, ybits = _pair_lists(occ, meta, K, P)
+    del ybits  # second factor runs per pair; no column-tile loop
+
+    sh = pl.pallas_call(
+        functools.partial(_ao_capture_kernel, Sn=Sn, Tn=Tn,
+                          TX=TX, TY=TY, NTY=NTY, P=P, mm_dtype=dtype,
+                          packed=False),
+        grid=(K,),
+        in_specs=[
+            pl.BlockSpec((1, 8), lambda k: (k, 0),
+                         memory_space=pltpu.SMEM),   # meta row k
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # counts
+            pl.BlockSpec((1, P), lambda k: (k, 0),
+                         memory_space=pltpu.SMEM),   # pairs row k
+            pl.BlockSpec(memory_space=pl.ANY),       # AO field
+            pl.BlockSpec((Sn, Tn), lambda k: (0, 0),
+                         memory_space=pltpu.VMEM),   # m_hit
+            pl.BlockSpec((1, Sn), lambda k: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Tn), lambda k: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((4, Sn, Tn), lambda k: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((4, Sn, Tn), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, 4, TX, TY), dtype),
+            pltpu.VMEM((2, 4, TX, TY), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(meta, counts, pairs, ao_zcxy.astype(dtype), m_hit,
+      s_grid[None], t_grid[None])
+    return sh
+
+
+def ao_capture_packed(packed_ao,                  # PackedAOAxisVolume
+                      meta: jnp.ndarray,
+                      s_grid: jnp.ndarray, t_grid: jnp.ndarray,
+                      Sn: int, Tn: int,
+                      m_hit: jnp.ndarray,
+                      interpret: "bool | None" = None,
+                      dtype=jnp.bfloat16):
+    """Sparse-atlas AO capture; returns sh (4, Sn, Tn) f32.
+
+    Same kernel body as `ao_capture_tiled` with the per-pair DMA reading
+    ``atlas[slot]`` planes; tile occupancy comes straight from the AO
+    slot table (nonzero slot = tile stores a non-background SH block), so
+    no dilation step is needed - the atlas was packed with the field's
+    own support."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    dtype = jnp.dtype(dtype)
+    atlas = packed_ao.atlas
+    Z, X, Y = packed_ao.shape
+    TX, TY = packed_ao.tile_shape
+    NTX, NTY = X // TX, Y // TY
+    P = NTX * NTY
+    K = meta.shape[0]
+
+    zfs = meta[:, 2].astype(jnp.int32)
+    z0 = jnp.clip(zfs, 0, Z - 1)
+    z1 = jnp.clip(zfs + 1, 0, Z - 1)
+    occ = ((packed_ao.slots[z0] > 0) | (packed_ao.slots[z1] > 0))
+    occ = occ & _slice_has_hit(m_hit, K)[:, None, None]
+    pairs, counts, _ = _pair_lists(occ, meta, K, P)
+
+    xt = pairs // NTY
+    yt = pairs - xt * NTY
+    slots0 = packed_ao.slots[z0[:, None], xt, yt].astype(jnp.int32)
+    slots1 = packed_ao.slots[z1[:, None], xt, yt].astype(jnp.int32)
+
+    sh = pl.pallas_call(
+        functools.partial(_ao_capture_kernel, Sn=Sn, Tn=Tn,
+                          TX=TX, TY=TY, NTY=NTY, P=P, mm_dtype=dtype,
+                          packed=True),
+        grid=(K,),
+        in_specs=[
+            pl.BlockSpec((1, 8), lambda k: (k, 0),
+                         memory_space=pltpu.SMEM),   # meta row k
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # counts
+            pl.BlockSpec((1, P), lambda k: (k, 0),
+                         memory_space=pltpu.SMEM),   # pairs row k
+            pl.BlockSpec((1, P), lambda k: (k, 0),
+                         memory_space=pltpu.SMEM),   # slots0 row k
+            pl.BlockSpec((1, P), lambda k: (k, 0),
+                         memory_space=pltpu.SMEM),   # slots1 row k
+            pl.BlockSpec(memory_space=pl.ANY),       # packed AO atlas
+            pl.BlockSpec((Sn, Tn), lambda k: (0, 0),
+                         memory_space=pltpu.VMEM),   # m_hit
+            pl.BlockSpec((1, Sn), lambda k: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Tn), lambda k: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((4, Sn, Tn), lambda k: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((4, Sn, Tn), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, 4, TX, TY), dtype),
+            pltpu.VMEM((2, 4, TX, TY), dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        interpret=interpret,
+    )(meta, counts, pairs, slots0, slots1,
+      atlas.astype(dtype), m_hit, s_grid[None], t_grid[None])
+    return sh
+
+
 def march_pallas_packed(packed_axis,               # volume/packed axis data
                         meta: jnp.ndarray,          # (K, 8) f32
                         s_grid: jnp.ndarray, t_grid: jnp.ndarray,

@@ -134,6 +134,78 @@ def pack_axis(vol_zxy: np.ndarray, tile: int = 256,
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
+class PackedAOAxisVolume:
+    """Packed baked-AO (SH-L1) tiles for one sweep axis.
+
+    The baked occlusion field (`render/ao_sweep.bake_occlusion_sh`) is zero
+    everywhere far from the surface (mean = 0, g = 0 -> AO = 1), so only
+    the surface shell needs storage.  Tiles whose 4 SH channels are all
+    within ``tolerance`` of zero are dropped; slot 0 is the all-zero
+    background tile, exactly like the density atlas.
+
+    atlas : (N, 4, TX, TY) SH tiles ([mean, gx, gy, gz] channel-major so
+        the kernel's per-pair DMA is one contiguous-band copy per plane).
+    slots : (Z, NTX, NTY) int32 atlas slot per (z, x-tile, y-tile).
+    shape : static (Z, X, Y) extents of the permuted field.
+    """
+
+    atlas: jnp.ndarray
+    slots: jnp.ndarray
+    shape: Tuple[int, int, int]
+
+    def tree_flatten(self):
+        return (self.atlas, self.slots), (self.shape,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux[0])
+
+    @property
+    def tile_shape(self) -> Tuple[int, int]:
+        return tuple(self.atlas.shape[2:])
+
+    def to_dense_zcxy(self) -> np.ndarray:
+        """Reassemble the dense (Z, 4, X, Y) field (tests)."""
+        atlas = np.asarray(self.atlas)
+        slots = np.asarray(self.slots)
+        Z, X, Y = self.shape
+        TX, TY = atlas.shape[2:]
+        tiles = atlas[slots]              # (Z, NTX, NTY, 4, TX, TY)
+        return (tiles.transpose(0, 3, 1, 4, 2, 5)
+                .reshape(Z, 4, X, Y))
+
+
+def pack_ao_axis(ao_zcxy: np.ndarray, tile: int = 128,
+                 tolerance: float = 1e-3,
+                 dtype=np.float32) -> PackedAOAxisVolume:
+    """Pack one slice-major (Z, 4, X, Y) baked-AO field.
+
+    Occupancy is self-describing - "any SH channel differs from zero by
+    more than ``tolerance`` somewhere in the tile" - so the packing needs
+    no isovalue and stays valid for any camera.  AO tiles default to a
+    finer tile than the density atlas: the shell of non-zero occlusion
+    hugs the surface, and at 256-wide tiles a 512^3 volume has only 2x2
+    tiles per slice (nothing to cull).
+    """
+    Z, C, X, Y = ao_zcxy.shape
+    assert C == 4, f"expected 4 SH channels, got {C}"
+    TX, TY = pick_tile(X, tile), pick_tile(Y, tile)
+    NTX, NTY = X // TX, Y // TY
+    view = (ao_zcxy.reshape(Z, C, NTX, TX, NTY, TY)
+            .transpose(0, 2, 4, 1, 3, 5))       # (Z, NTX, NTY, 4, TX, TY)
+    occ = (np.abs(view.astype(np.float32))
+           > tolerance).any(axis=(3, 4, 5))     # (Z, NTX, NTY)
+    n_occ = int(occ.sum())
+    atlas = np.zeros((n_occ + 1, C, TX, TY), dtype=dtype)
+    atlas[1:] = view[occ].astype(dtype)
+    slots = np.zeros((Z, NTX, NTY), np.int32)
+    slots[occ] = np.arange(1, n_occ + 1, dtype=np.int32)
+    return PackedAOAxisVolume(jnp.asarray(atlas), jnp.asarray(slots),
+                              (Z, X, Y))
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
 class SparseBrickGrid:
     """Sparse-storage drop-in for `BrickGrid` on the tiled sweep path.
 
@@ -153,11 +225,15 @@ class SparseBrickGrid:
     brick_size: int = DEFAULT_BRICK_SIZE
     value_scale: float = 1.0
     value_offset: float = 0.0
-    ao_sh: Optional[jnp.ndarray] = None   # dense baked AO unsupported here
+    # dense baked AO is never stored here; a packed per-axis AO atlas is
+    # (see `attach_packed_ao` / `pack_ao_axis`)
+    ao_sh: Optional[jnp.ndarray] = None
+    ao_per_axis: Optional[Tuple[PackedAOAxisVolume, ...]] = None
 
     def tree_flatten(self):
         children = (self.per_axis, self.brick_min, self.brick_max,
-                    self.bbox_min, self.bbox_max, self.ao_sh)
+                    self.bbox_min, self.bbox_max, self.ao_sh,
+                    self.ao_per_axis)
         aux = (self.resolution, self.brick_size, self.value_scale,
                self.value_offset)
         return children, aux
@@ -167,6 +243,7 @@ class SparseBrickGrid:
         return cls(per_axis=children[0], brick_min=children[1],
                    brick_max=children[2], bbox_min=children[3],
                    bbox_max=children[4], ao_sh=children[5],
+                   ao_per_axis=children[6],
                    resolution=aux[0], brick_size=aux[1],
                    value_scale=aux[2], value_offset=aux[3])
 
@@ -194,9 +271,13 @@ class SparseBrickGrid:
 
     # -- storage accounting ---------------------------------------------------
     def storage_bytes(self) -> int:
-        """Bytes of the packed value storage (all 3 axes + slot tables)."""
+        """Bytes of the packed value storage (all 3 axes + slot tables,
+        including the packed AO atlases when attached)."""
         total = 0
         for pa in self.per_axis:
+            total += pa.atlas.size * pa.atlas.dtype.itemsize
+            total += pa.slots.size * 4
+        for pa in (self.ao_per_axis or ()):
             total += pa.atlas.size * pa.atlas.dtype.itemsize
             total += pa.slots.size * 4
         return total
@@ -208,23 +289,38 @@ class SparseBrickGrid:
     # -- conversions ----------------------------------------------------------
     @classmethod
     def from_brick_grid(cls, grid: BrickGrid, tile: int = 256,
-                        tolerance: float = 0.0) -> "SparseBrickGrid":
-        """Pack a dense BrickGrid's stored values (host-side, numpy)."""
+                        tolerance: float = 0.0,
+                        ao_tile: int = 128) -> "SparseBrickGrid":
+        """Pack a dense BrickGrid's stored values (host-side, numpy).
+
+        When the grid carries a baked AO field (``grid.ao_sh`` from
+        `render/ao_sweep.attach_baked_ao`), the field is packed per axis
+        too (`pack_ao_axis`) so the sparse renderer keeps the full
+        reference G-buffer without a dense (Z, 4, X, Y) array in HBM."""
         stored = np.asarray(grid.values)
         per_axis = []
+        ao_per_axis = [] if grid.ao_sh is not None else None
+        ao = (np.asarray(grid.ao_sh) if grid.ao_sh is not None else None)
         for perm in SWEEP_PERMS:
             vol_p = np.transpose(stored, perm)          # (X', Y', Z')
             vol_zxy = np.ascontiguousarray(
                 np.transpose(vol_p, (2, 0, 1)))          # (Z', X', Y')
             per_axis.append(pack_axis(vol_zxy, tile=tile,
                                       tolerance=tolerance))
+            if ao is not None:
+                ao_p = np.transpose(ao, perm + (3,))     # (X', Y', Z', 4)
+                ao_zcxy = np.ascontiguousarray(
+                    np.transpose(ao_p, (2, 3, 0, 1)))    # (Z', 4, X', Y')
+                ao_per_axis.append(pack_ao_axis(ao_zcxy, tile=ao_tile))
         return cls(per_axis=tuple(per_axis),
                    brick_min=grid.brick_min, brick_max=grid.brick_max,
                    bbox_min=grid.bbox_min, bbox_max=grid.bbox_max,
                    resolution=tuple(int(s) for s in grid.values.shape),
                    brick_size=grid.brick_size,
                    value_scale=grid.value_scale,
-                   value_offset=grid.value_offset)
+                   value_offset=grid.value_offset,
+                   ao_per_axis=(tuple(ao_per_axis)
+                                if ao_per_axis is not None else None))
 
     @classmethod
     def from_dense(cls, values, tile: int = 256, tolerance: float = 0.0,
@@ -238,8 +334,12 @@ class SparseBrickGrid:
         # axis 2's perm is identity: (Z, X, Y) -> (X, Y, Z)
         dense_zxy = self.per_axis[2].to_dense_zxy()
         values = jnp.asarray(np.transpose(dense_zxy, (1, 2, 0)))
+        ao_sh = self.ao_sh
+        if ao_sh is None and self.ao_per_axis is not None:
+            ao_zcxy = self.ao_per_axis[2].to_dense_zcxy()  # (Z, 4, X, Y)
+            ao_sh = jnp.asarray(np.transpose(ao_zcxy, (2, 3, 0, 1)))
         return BrickGrid(values=values, brick_min=self.brick_min,
                          brick_max=self.brick_max, bbox_min=self.bbox_min,
                          bbox_max=self.bbox_max, brick_size=self.brick_size,
                          value_scale=self.value_scale,
-                         value_offset=self.value_offset, ao_sh=self.ao_sh)
+                         value_offset=self.value_offset, ao_sh=ao_sh)

@@ -32,7 +32,8 @@ def device_hbm_mb() -> float:
     return stats.get("bytes_in_use", 0) / 1e6
 
 
-def bench_res(res: int, family: str, N: int, sparse: bool = False):
+def bench_res(res: int, family: str, N: int, sparse: bool = False,
+              ao: bool = False):
     """Generate + bench one volume resolution; returns a result row."""
     import jax
     import jax.numpy as jnp
@@ -67,6 +68,22 @@ def bench_res(res: int, family: str, N: int, sparse: bool = False):
             grid = BrickGrid.from_dense(dense, brick_size=grid.brick_size,
                                         store_dtype=store)
             del dense
+    if ao:
+        # bake the SH occlusion field (one-time per volume+iso); the bake
+        # materializes dense f32 shift copies, so cap it at 512^3
+        if res > 512:
+            raise ValueError("--ao bake needs dense f32 shift copies; "
+                             ">512^3 exceeds HBM (bake offline/half-res)")
+        import dataclasses as _dc
+
+        from isosurfacesuperresolution_tpu.render.ao_sweep import (
+            attach_baked_ao)
+        tb = time.time()
+        grid = attach_baked_ao(grid, 0.36, 0.2)
+        # bf16 field: halve the AO HBM (the kernel matmuls in bf16 anyway)
+        grid = _dc.replace(grid, ao_sh=grid.ao_sh.astype(jnp.bfloat16))
+        print(f"[{res}^3] AO bake {time.time() - tb:.0f}s", file=sys.stderr)
+        store += "+ao"
     if sparse:
         from isosurfacesuperresolution_tpu.volume.packed import (
             SparseBrickGrid)
@@ -75,7 +92,8 @@ def bench_res(res: int, family: str, N: int, sparse: bool = False):
         store += "/packed"
         frac = grid.storage_bytes() / grid.dense_bytes()
         print(f"[{res}^3] packed storage: {frac:.2f}x dense "
-              f"({grid.storage_bytes() / 1e6:.0f} MB, 3 axes)",
+              f"({grid.storage_bytes() / 1e6:.0f} MB, 3 axes"
+              f"{', incl. AO atlas' if ao else ''})",
               file=sys.stderr)
     gen_s = time.time() - t0
     occ = float((grid.brick_max >= 0.36).mean())
@@ -129,6 +147,10 @@ def main() -> None:
     p.add_argument("--sparse", action="store_true",
                    help="pack into SparseBrickGrid (atlas-indirect tiled "
                         "march; storage scales with occupancy)")
+    p.add_argument("--ao", action="store_true",
+                   help="bake the SH occlusion field and bench with the "
+                        "AO-enabled G-buffer (tiled pass-2 capture); "
+                        "<=512^3 only (the bake needs dense f32 copies)")
     p.add_argument("--cpu", action="store_true",
                    help="hard-pin the CPU backend (sitecustomize re-pins "
                         "to the tunneled TPU otherwise)")
@@ -146,7 +168,7 @@ def main() -> None:
         # one bad resolution must not lose the others' rows
         try:
             rows.append(bench_res(res, args.family, args.frames,
-                                  sparse=args.sparse))
+                                  sparse=args.sparse, ao=args.ao))
         except Exception:
             print(f"[{res}^3] FAILED:", file=sys.stderr)
             traceback.print_exc()

@@ -117,3 +117,42 @@ def test_packed_requires_tiled_renderer():
                              RenderConfig(width=16, height=16,
                                           renderer="sweep_pallas",
                                           sweep_tile=16, ao_samples=4))
+
+
+def test_pack_ao_axis_roundtrip():
+    """AO atlas packs only the non-zero occlusion shell and reconstructs
+    it within the packing tolerance."""
+    from isosurfacesuperresolution_tpu.render.ao_sweep import (
+        bake_occlusion_sh)
+    from isosurfacesuperresolution_tpu.volume.packed import pack_ao_axis
+    vol = _sparse_dense(48)
+    sh = np.asarray(bake_occlusion_sh(vol, 0.45, 4.0))   # (X, Y, Z, 4)
+    ao_zcxy = np.ascontiguousarray(np.transpose(sh, (2, 3, 0, 1)))
+    pa = pack_ao_axis(ao_zcxy, tile=16, tolerance=1e-3)
+    assert pa.tile_shape == (16, 16)
+    assert (np.asarray(pa.slots) > 0).mean() < 0.9       # something culled
+    back = pa.to_dense_zcxy()
+    assert np.abs(back - ao_zcxy).max() <= 1e-3 + 1e-7
+
+
+def test_packed_ao_matches_dense_tiled():
+    """Sparse-atlas AO capture vs the dense tiled pass-2 on the same baked
+    field (full G-buffer parity incl. the AO channel)."""
+    from isosurfacesuperresolution_tpu.render.ao_sweep import (
+        attach_baked_ao)
+    vol = _sparse_dense(64, r=14)
+    g = attach_baked_ao(BrickGrid.from_dense(vol), 0.45, 0.1)
+    sg = SparseBrickGrid.from_brick_grid(g, tile=16, ao_tile=16)
+    assert sg.ao_per_axis is not None and sg.ao_sh is None
+    cam = CameraParams.create((0.2, 0.7, -1.6))
+    cfg = RenderConfig(width=32, height=24, isovalue=0.45, ao_samples=16,
+                       ao_mode="volume", sweep_dtype="float32",
+                       renderer="sweep_pallas", sweep_tile=16)
+    ref = np.asarray(render_gbuffer_sweep(g, cam, cam, cfg))
+    got = np.asarray(render_gbuffer_sweep(sg, cam, cam, cfg))
+    np.testing.assert_array_equal(ref[..., 3], got[..., 3])
+    both = ref[..., 3] > 0.5
+    assert both.sum() >= 20
+    assert ref[..., 10][both].std() > 1e-3
+    d = np.abs(ref[..., 10] - got[..., 10])[both]
+    assert d.max() < 2e-3, float(d.max())

@@ -67,3 +67,29 @@ def test_tiled_uint8_storage():
     ma, mb = ref[..., 3] > 0.5, got[..., 3] > 0.5
     inter, union = (ma & mb).sum(), (ma | mb).sum()
     assert union > 30 and inter / union > 0.95
+
+
+def test_tiled_ao_matches_flat_kernel():
+    """Pass-2 tiled AO capture vs the flat kernel's in-march AO slabs.
+
+    The flat kernel streams whole (2, 4, X, Y) AO slabs (exceeds VMEM at
+    1024^3); the tiled path re-derives the crossing set from m_hit and
+    windows the field per occupied tile - same math, different tiling of
+    the f32 accumulation."""
+    from isosurfacesuperresolution_tpu.render.ao_sweep import (
+        attach_baked_ao)
+    grid = analytic.blobs_volume(48, num_blobs=5)
+    grid = attach_baked_ao(grid, 0.5, 0.1)
+    cam = CameraParams.create((0.2, 0.7, -1.6))
+    base = RenderConfig(width=32, height=24, isovalue=0.5, ao_samples=16,
+                        ao_mode="volume", sweep_dtype="float32",
+                        renderer="sweep_pallas", sweep_tile=-1)  # flat
+    ref = np.asarray(render_gbuffer_sweep(grid, cam, cam, base))
+    got = np.asarray(render_gbuffer_sweep(
+        grid, cam, cam, dataclasses.replace(base, sweep_tile=16)))
+    both = (ref[..., 3] > 0.5) & (got[..., 3] > 0.5)
+    assert both.sum() >= 20
+    # AO must actually vary (a flat field would hide a broken capture)
+    assert ref[..., 10][both].std() > 1e-3
+    d = np.abs(ref[..., 10] - got[..., 10])[both]
+    assert d.max() < 1e-3, float(d.max())
