@@ -472,11 +472,26 @@ def _dilate_tiles(occ: jnp.ndarray) -> jnp.ndarray:
 
 
 def _slice_has_hit(m_hit: jnp.ndarray, K: int) -> jnp.ndarray:
-    """(K,) bool: does any pixel's pass-1 hit land on slice k."""
+    """(K,) bool: does any pixel's pass-1 hit land on slice k.
+
+    Chunked broadcast-compare scan, NOT a scatter-max: XLA TPU lowers a
+    per-pixel scatter into a small (K,) array at ~2M rows/s, which is
+    ~100 ms at the 480x270-oversampled operating point; the (C, K)
+    compare-and-any scan below is pure VPU work at C*K VMEM."""
     found = m_hit >= 0.0
-    ki = jnp.clip(m_hit.astype(jnp.int32), 0, K - 1).reshape(-1)
-    return (jnp.zeros((K,), jnp.int32)
-            .at[ki].max(found.reshape(-1).astype(jnp.int32)) > 0)
+    ki = jnp.where(found,
+                   jnp.clip(m_hit.astype(jnp.int32), 0, K - 1),
+                   -1).reshape(-1)
+    C = 2048
+    pad = (-ki.shape[0]) % C
+    chunks = jnp.pad(ki, (0, pad), constant_values=-1).reshape(-1, C)
+    ks = jnp.arange(K, dtype=jnp.int32)
+
+    def body(acc, chunk):
+        return acc | jnp.any(chunk[:, None] == ks[None, :], axis=0), None
+
+    acc, _ = jax.lax.scan(body, jnp.zeros((K,), jnp.bool_), chunks)
+    return acc
 
 
 def ao_capture_tiled(ao_zcxy: jnp.ndarray,        # (Z, 4, X, Y) baked SH
