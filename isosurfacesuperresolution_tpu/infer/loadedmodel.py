@@ -62,7 +62,16 @@ class LoadedModel:
                      fast: bool = False) -> "LoadedModel":
         """``fast=True`` re-instantiates the generator with
         ``fused_upsample`` (ops/fused_upsample.py): the parameter tree is
-        identical, so any checkpoint loads either way."""
+        identical, so any checkpoint loads either way.
+
+        A ``.pth`` file path routes to the reference-checkpoint importer
+        (`infer/torch_import.py`), so every harness that resolves model
+        specs through here accepts the reference's released PyTorch
+        checkpoints directly."""
+        if run_dir.endswith(".pth") and os.path.isfile(run_dir):
+            from isosurfacesuperresolution_tpu.infer.torch_import import (
+                load_reference_pth)
+            return load_reference_pth(run_dir, fast=fast)
         import dataclasses
 
         from isosurfacesuperresolution_tpu.models.generators import (
@@ -127,6 +136,9 @@ class LoadedModel:
         from isosurfacesuperresolution_tpu.models.videotools import (
             flatten_high, initial_image, warp_upscale)
         u = self.upscale_factor
+        if self.cfg.train.disable_temporal:
+            prediction, _ = self.model.apply(self.params, current_low)
+            return prediction
         if prev_high is None:
             previous_warped = initial_image(
                 current_low, self.cfg.model.output_channels,

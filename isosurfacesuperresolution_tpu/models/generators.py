@@ -310,11 +310,15 @@ class TecoGAN(nn.Module):
                             "fan_in", "truncated_normal"),
                         name=f"block{i}_conv2")(y)
             feat = feat + y
-        y = nn.ConvTranspose(c, (3, 3), strides=(2, 2), dtype=dtype,
-                             name="up1")(feat)
+        # padding ((1,2),(1,2)) = the reference's ConvTranspose2d(3,
+        # stride=2, padding=1, output_padding=1) alignment exactly
+        # (tecogan.py:56-60); flax's default SAME is shifted by one pixel
+        ct_pad = ((1, 2), (1, 2))
+        y = nn.ConvTranspose(c, (3, 3), strides=(2, 2), padding=ct_pad,
+                             dtype=dtype, name="up1")(feat)
         y = nn.leaky_relu(y)
-        y = nn.ConvTranspose(c, (3, 3), strides=(2, 2), dtype=dtype,
-                             name="up2")(y)
+        y = nn.ConvTranspose(c, (3, 3), strides=(2, 2), padding=ct_pad,
+                             dtype=dtype, name="up2")(y)
         y = nn.leaky_relu(y)
         y = nn.Conv(cfg.output_channels, (3, 3), padding=1, dtype=dtype,
                     name="out")(y)
