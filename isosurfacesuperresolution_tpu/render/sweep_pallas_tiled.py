@@ -57,12 +57,12 @@ def _tiled_kernel(*refs,
                   scale: float = 1.0, offset: float = 0.0,
                   packed: bool = False):
     if packed:
-        (meta_ref,        # SMEM (1, 8) f32 window (row k)
+        (meta_ref,        # SMEM (1, 1, 8) f32 window (row k)
          count_ref,       # SMEM (K,) i32 occupied-pair count
-         pairs_ref,       # SMEM (1, P) i32 window (row k)
-         slots0_ref,      # SMEM (1, P) i32 atlas slot of plane zf
-         slots1_ref,      # SMEM (1, P) i32 atlas slot of plane zf+1
-         ybits_ref,       # SMEM (1, NTY) i32 window (row k)
+         pairs_ref,       # SMEM (1, 1, P) i32 window (row k)
+         slots0_ref,      # SMEM (1, 1, P) i32 slots of plane zf
+         slots1_ref,      # SMEM (1, 1, P) i32 slots of plane zf+1
+         ybits_ref,       # SMEM (1, 1, NTY) i32 window (row k)
          vol_hbm,         # ANY (N, TX, TY) packed atlas
          sg_ref, tg_ref,  # VMEM (1, Sn) / (1, Tn)
          mhit_ref, frac_ref, fm1_ref, gs_ref, gt_ref, gz_ref,
@@ -76,12 +76,12 @@ def _tiled_kernel(*refs,
          tmp_ref, s0, s1, sems) = refs
     k = pl.program_id(0)
 
-    lam = meta_ref[0, 1]
-    fz = meta_ref[0, 3]
-    do = meta_ref[0, 4] > 0.5
-    iso = meta_ref[0, 5]
-    eye_s = meta_ref[0, 6]
-    eye_t = meta_ref[0, 7]
+    lam = meta_ref[0, 0, 1]
+    fz = meta_ref[0, 0, 3]
+    do = meta_ref[0, 0, 4] > 0.5
+    iso = meta_ref[0, 0, 5]
+    eye_s = meta_ref[0, 0, 6]
+    eye_t = meta_ref[0, 0, 7]
     n = count_ref[k]
 
     @pl.when(k == 0)
@@ -102,16 +102,16 @@ def _tiled_kernel(*refs,
         if packed:
             return [
                 pltpu.make_async_copy(
-                    vol_hbm.at[pl.ds(slots0_ref[0, i], 1)],
+                    vol_hbm.at[pl.ds(slots0_ref[0, 0, i], 1)],
                     dst.at[pl.ds(0, 1)], sems.at[slot_idx, 0]),
                 pltpu.make_async_copy(
-                    vol_hbm.at[pl.ds(slots1_ref[0, i], 1)],
+                    vol_hbm.at[pl.ds(slots1_ref[0, 0, i], 1)],
                     dst.at[pl.ds(1, 1)], sems.at[slot_idx, 1]),
             ]
-        pid = pairs_ref[0, i]
+        pid = pairs_ref[0, 0, i]
         xt = pid // NTY
         yt = pid - xt * NTY
-        zfi = meta_ref[0, 2].astype(jnp.int32)
+        zfi = meta_ref[0, 0, 2].astype(jnp.int32)
         return [pltpu.make_async_copy(
             vol_hbm.at[pl.ds(zfi, 2), pl.ds(xt * TX, TX),
                        pl.ds(yt * TY, TY)],
@@ -129,7 +129,7 @@ def _tiled_kernel(*refs,
     def _():
         # zero the accumulator only under occupied column tiles
         for yt in range(NTY):
-            @pl.when(ybits_ref[0, yt] > 0)
+            @pl.when(ybits_ref[0, 0, yt] > 0)
             def _(yt=yt):
                 tmp_ref[:, yt * TY:(yt + 1) * TY] = jnp.zeros(
                     (Sn, TY), jnp.float32)
@@ -147,7 +147,7 @@ def _tiled_kernel(*refs,
                 slot = (s0, s1)[slot_idx]
                 # wait on the exact descriptors started for pair i
                 dma_wait(i, slot_idx)
-                pid = pairs_ref[0, i]
+                pid = pairs_ref[0, 0, i]
                 xt = pid // NTY
                 yt = pid - xt * NTY
                 def to_f32(x):
@@ -187,7 +187,7 @@ def _tiled_kernel(*refs,
                   .astype(jnp.float32) + 0.5 + yt * TY)
             wy = jnp.maximum(0.0, 1.0 - jnp.abs(t_pos[:, None] - jy))
             F = jax.lax.cond(
-                ybits_ref[0, yt] > 0,
+                ybits_ref[0, 0, yt] > 0,
                 lambda F=F, yt=yt, wy=wy: F + jnp.dot(
                     tmp_ref[:, yt * TY:(yt + 1) * TY].astype(mm_dtype),
                     wy.T.astype(mm_dtype),
@@ -313,12 +313,12 @@ def march_pallas_tiled(vol_zxy: jnp.ndarray,      # (Z, X, Y) slice-major
             # (1, .) SMEM windows: a full (K, .) SMEM residency pads
             # every row to 128 lanes (512 B) and overflows the 1 MB
             # SMEM at K~1024 (512^3); only row k is ever read
-            pl.BlockSpec((1, 8), lambda k: (k, 0),
+            pl.BlockSpec((1, 1, 8), lambda k: (k, 0, 0),
                          memory_space=pltpu.SMEM),   # meta row k
             pl.BlockSpec(memory_space=pltpu.SMEM),   # counts (1-D, small)
-            pl.BlockSpec((1, P), lambda k: (k, 0),
+            pl.BlockSpec((1, 1, P), lambda k: (k, 0, 0),
                          memory_space=pltpu.SMEM),   # pairs row k
-            pl.BlockSpec((1, NTY), lambda k: (k, 0),
+            pl.BlockSpec((1, 1, NTY), lambda k: (k, 0, 0),
                          memory_space=pltpu.SMEM),   # ybits row k
             pl.BlockSpec(memory_space=pl.ANY),    # volume
             pl.BlockSpec((1, Sn), lambda k: (0, 0),
@@ -336,7 +336,8 @@ def march_pallas_tiled(vol_zxy: jnp.ndarray,      # (Z, X, Y) slice-major
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(meta, counts, pairs, ybits, vol_zxy.astype(store_dtype),
+    )(meta[:, None], counts, pairs[:, None], ybits[:, None],
+      vol_zxy.astype(store_dtype),
       s_grid[None], t_grid[None])
     m_hit, frac, _, g_s, g_t, g_z = outs
     return m_hit, frac, g_s, g_t, g_z
@@ -358,7 +359,7 @@ def _ao_capture_kernel(*refs,
     """
     if packed:
         (meta_ref, count_ref, pairs_ref,
-         slots0_ref, slots1_ref,          # SMEM (1, P) int32 windows
+         slots0_ref, slots1_ref,          # SMEM (1, 1, P) int32 windows
          ao_hbm,                          # ANY (N, 4, TX, TY) packed atlas
          mhit_ref,                        # VMEM (Sn, Tn) pass-1 hit slice
          sg_ref, tg_ref,
@@ -371,10 +372,10 @@ def _ao_capture_kernel(*refs,
          a0, a1, sems) = refs
     k = pl.program_id(0)
 
-    lam = meta_ref[0, 1]
-    fz = meta_ref[0, 3]
-    eye_s = meta_ref[0, 6]
-    eye_t = meta_ref[0, 7]
+    lam = meta_ref[0, 0, 1]
+    fz = meta_ref[0, 0, 3]
+    eye_s = meta_ref[0, 0, 6]
+    eye_t = meta_ref[0, 0, 7]
     n = count_ref[k]
 
     @pl.when(k == 0)
@@ -386,16 +387,16 @@ def _ao_capture_kernel(*refs,
         if packed:
             return [
                 pltpu.make_async_copy(
-                    ao_hbm.at[pl.ds(slots0_ref[0, i], 1)],
+                    ao_hbm.at[pl.ds(slots0_ref[0, 0, i], 1)],
                     dst.at[pl.ds(0, 1)], sems.at[slot_idx, 0]),
                 pltpu.make_async_copy(
-                    ao_hbm.at[pl.ds(slots1_ref[0, i], 1)],
+                    ao_hbm.at[pl.ds(slots1_ref[0, 0, i], 1)],
                     dst.at[pl.ds(1, 1)], sems.at[slot_idx, 1]),
             ]
-        pid = pairs_ref[0, i]
+        pid = pairs_ref[0, 0, i]
         xt = pid // NTY
         yt = pid - xt * NTY
-        zfi = meta_ref[0, 2].astype(jnp.int32)
+        zfi = meta_ref[0, 0, 2].astype(jnp.int32)
         return [pltpu.make_async_copy(
             ao_hbm.at[pl.ds(zfi, 2), pl.ds(0, 4), pl.ds(xt * TX, TX),
                       pl.ds(yt * TY, TY)],
@@ -425,7 +426,7 @@ def _ao_capture_kernel(*refs,
             def accum(slot_idx):
                 slot = (a0, a1)[slot_idx]
                 dma_wait(i, slot_idx)
-                pid = pairs_ref[0, i]
+                pid = pairs_ref[0, 0, i]
                 xt = pid // NTY
                 yt = pid - xt * NTY
                 asl = ((1.0 - fz) * slot[0].astype(jnp.float32)
@@ -540,10 +541,10 @@ def ao_capture_tiled(ao_zcxy: jnp.ndarray,        # (Z, 4, X, Y) baked SH
                           packed=False),
         grid=(K,),
         in_specs=[
-            pl.BlockSpec((1, 8), lambda k: (k, 0),
+            pl.BlockSpec((1, 1, 8), lambda k: (k, 0, 0),
                          memory_space=pltpu.SMEM),   # meta row k
             pl.BlockSpec(memory_space=pltpu.SMEM),   # counts
-            pl.BlockSpec((1, P), lambda k: (k, 0),
+            pl.BlockSpec((1, 1, P), lambda k: (k, 0, 0),
                          memory_space=pltpu.SMEM),   # pairs row k
             pl.BlockSpec(memory_space=pl.ANY),       # AO field
             pl.BlockSpec((Sn, Tn), lambda k: (0, 0),
@@ -562,7 +563,7 @@ def ao_capture_tiled(ao_zcxy: jnp.ndarray,        # (Z, 4, X, Y) baked SH
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(meta, counts, pairs, ao_zcxy.astype(dtype), m_hit,
+    )(meta[:, None], counts, pairs[:, None], ao_zcxy.astype(dtype), m_hit,
       s_grid[None], t_grid[None])
     return sh
 
@@ -609,14 +610,14 @@ def ao_capture_packed(packed_ao,                  # PackedAOAxisVolume
                           packed=True),
         grid=(K,),
         in_specs=[
-            pl.BlockSpec((1, 8), lambda k: (k, 0),
+            pl.BlockSpec((1, 1, 8), lambda k: (k, 0, 0),
                          memory_space=pltpu.SMEM),   # meta row k
             pl.BlockSpec(memory_space=pltpu.SMEM),   # counts
-            pl.BlockSpec((1, P), lambda k: (k, 0),
+            pl.BlockSpec((1, 1, P), lambda k: (k, 0, 0),
                          memory_space=pltpu.SMEM),   # pairs row k
-            pl.BlockSpec((1, P), lambda k: (k, 0),
+            pl.BlockSpec((1, 1, P), lambda k: (k, 0, 0),
                          memory_space=pltpu.SMEM),   # slots0 row k
-            pl.BlockSpec((1, P), lambda k: (k, 0),
+            pl.BlockSpec((1, 1, P), lambda k: (k, 0, 0),
                          memory_space=pltpu.SMEM),   # slots1 row k
             pl.BlockSpec(memory_space=pl.ANY),       # packed AO atlas
             pl.BlockSpec((Sn, Tn), lambda k: (0, 0),
@@ -635,8 +636,9 @@ def ao_capture_packed(packed_ao,                  # PackedAOAxisVolume
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
         interpret=interpret,
-    )(meta, counts, pairs, slots0, slots1,
-      atlas.astype(dtype), m_hit, s_grid[None], t_grid[None])
+    )(meta[:, None], counts, pairs[:, None], slots0[:, None],
+      slots1[:, None], atlas.astype(dtype), m_hit,
+      s_grid[None], t_grid[None])
     return sh
 
 
@@ -687,16 +689,16 @@ def march_pallas_packed(packed_axis,               # volume/packed axis data
                           scale=scale, offset=offset, packed=True),
         grid=(K,),
         in_specs=[
-            pl.BlockSpec((1, 8), lambda k: (k, 0),
+            pl.BlockSpec((1, 1, 8), lambda k: (k, 0, 0),
                          memory_space=pltpu.SMEM),   # meta row k
             pl.BlockSpec(memory_space=pltpu.SMEM),   # counts
-            pl.BlockSpec((1, P), lambda k: (k, 0),
+            pl.BlockSpec((1, 1, P), lambda k: (k, 0, 0),
                          memory_space=pltpu.SMEM),   # pairs row k
-            pl.BlockSpec((1, P), lambda k: (k, 0),
+            pl.BlockSpec((1, 1, P), lambda k: (k, 0, 0),
                          memory_space=pltpu.SMEM),   # slots0 row k
-            pl.BlockSpec((1, P), lambda k: (k, 0),
+            pl.BlockSpec((1, 1, P), lambda k: (k, 0, 0),
                          memory_space=pltpu.SMEM),   # slots1 row k
-            pl.BlockSpec((1, NTY), lambda k: (k, 0),
+            pl.BlockSpec((1, 1, NTY), lambda k: (k, 0, 0),
                          memory_space=pltpu.SMEM),   # ybits row k
             pl.BlockSpec(memory_space=pl.ANY),    # packed atlas
             pl.BlockSpec((1, Sn), lambda k: (0, 0),
@@ -714,7 +716,8 @@ def march_pallas_packed(packed_axis,               # volume/packed axis data
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
         interpret=interpret,
-    )(meta, counts, pairs, slots0, slots1, ybits,
+    )(meta[:, None], counts, pairs[:, None], slots0[:, None],
+      slots1[:, None], ybits[:, None],
       atlas.astype(store_dtype), s_grid[None], t_grid[None])
     m_hit, frac, _, g_s, g_t, g_z = outs
     return m_hit, frac, g_s, g_t, g_z
