@@ -1,7 +1,10 @@
 """All-angle robustness harness: PSNR/SSIM over random sphere cameras.
 
 Parity target: `mainPSNR2_AllAngles.py` - 50 random sphere cameras x 6 rolls,
-live-rendered ground truth vs model output, masked PSNR + SSIM with
+live-rendered ground truth vs model output, per-view UNMASKED PSNR on the
+normal and shaded-color channels (`mainPSNR2_AllAngles.py:344-350` - the
+reference computes plain PSNR; its masking is done by compositing the model
+image over the background with its own mask, :330-339), SSIM, and
 min/max/mean+-variance summaries via the Welford accumulator, NaN scanning.
 
 Usage:
@@ -38,6 +41,7 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from isosurfacesuperresolution_tpu.apps.main_psnr_stats import load_volume
+    from isosurfacesuperresolution_tpu.bench.stats import STATS_SHADING
     from isosurfacesuperresolution_tpu.config import RenderConfig
     from isosurfacesuperresolution_tpu.infer.loadedmodel import LoadedModel
     from isosurfacesuperresolution_tpu.ops.metrics import (
@@ -47,6 +51,8 @@ def main(argv=None):
     from isosurfacesuperresolution_tpu.render.camera import CameraParams
     from isosurfacesuperresolution_tpu.render.raycast import (
         gbuffer_to_high_target, gbuffer_to_low_input)
+    from isosurfacesuperresolution_tpu.render.shading import (
+        screen_space_shading)
     from isosurfacesuperresolution_tpu.train.trainer import clamp_output
 
     grid, vol_name = load_volume(args.volume)
@@ -60,15 +66,18 @@ def main(argv=None):
     out_path = os.path.join(args.output, f"allangles_{vol_name}.tsv")
 
     with open(out_path, "w") as f:
-        f.write("Model\tPSNR-min\tPSNR-max\tPSNR-mean\tPSNR-var\t"
-                "SSIM-min\tSSIM-max\tSSIM-mean\tSSIM-var\tNaN-frames\n")
+        f.write("Model\tPSNRnormal-min\tPSNRnormal-max\tPSNRnormal-mean\t"
+                "PSNRnormal-var\tPSNRcolor-min\tPSNRcolor-max\t"
+                "PSNRcolor-mean\tPSNRcolor-var\tSSIMnormal-mean\t"
+                "SSIMcolor-mean\tNaN-frames\n")
         for model_spec in args.models:
             loaded = (None if model_spec in ("nearest", "bilinear",
                                              "bicubic")
                       else LoadedModel.from_run_dir(model_spec))
-            mv_psnr, mv_ssim = MeanVariance(), MeanVariance()
-            p_min, p_max = np.inf, -np.inf
-            s_min, s_max = np.inf, -np.inf
+            mv_pn, mv_pc = MeanVariance(), MeanVariance()
+            mv_sn, mv_sc = MeanVariance(), MeanVariance()
+            pn_min, pn_max = np.inf, -np.inf
+            pc_min, pc_max = np.inf, -np.inf
             nan_frames = 0
             rng_local = np.random.RandomState(args.seed)
             for ci in range(args.cameras):
@@ -88,36 +97,64 @@ def main(argv=None):
                     fr_hi = render_frame_gbuffer(grid, cam, cam, high_cfg)
                     low = gbuffer_to_low_input(fr_lo)[None]
                     gt = gbuffer_to_high_target(fr_hi)[None]
+                    # Reference protocol (`mainPSNR2_AllAngles.py`):
+                    # baselines upsample the LOW-RES SHADED image
+                    # (:300-312 - shading happens before cv.resize);
+                    # networks are shaded at high res and then the color
+                    # AND normal channels are composited over the (black)
+                    # background with the bilinearly-UPSAMPLED INPUT mask
+                    # (`base_mask`, :330-339), not the predicted mask.
+                    # PSNR is then plain/unmasked on normal + shaded
+                    # color (:344-350).
                     if loaded is None:
                         up = resize(low, scale=4.0, method=model_spec)
-                        pred = jnp.concatenate(
-                            [up, jnp.ones_like(up[..., :1])], -1)
+                        pred_n = up[..., 1:4]
+                        pred_c = jnp.clip(resize(
+                            jnp.clip(screen_space_shading(
+                                low, STATS_SHADING), 0, 1),
+                            scale=4.0, method=model_spec), 0, 1)
+                        pred_np = np.asarray(pred_c)
                     else:
                         flow = jnp.zeros(low.shape[:3] + (2,))
                         pred = clamp_output(
                             loaded.inference(low, None, flow))
-                    pred_np = np.asarray(pred)
+                        pred_np = np.asarray(pred)
+                        base_mask = jnp.clip(resize(
+                            low[..., 0:1], scale=4.0,
+                            method="bilinear") * 0.5 + 0.5, 0.0, 1.0)
+                        pred_n = base_mask * pred[..., 1:4]
+                        pred_c = base_mask * jnp.clip(
+                            screen_space_shading(pred, STATS_SHADING),
+                            0, 1)
                     if not np.isfinite(pred_np).all():
                         nan_frames += 1        # parity: NaN scan
                         continue
-                    mask = gt[..., 0:1] * 0.5 + 0.5
-                    p = float(psnr(pred[..., 1:4], gt[..., 1:4],
-                                   mask=mask)[0])
-                    s = float(ssim(pred[..., 1:4], gt[..., 1:4],
-                                   val_range=2.0))
-                    mv_psnr.append(p)
-                    mv_ssim.append(s)
-                    p_min, p_max = min(p_min, p), max(p_max, p)
-                    s_min, s_max = min(s_min, s), max(s_max, s)
+                    gt_n = gt[..., 1:4]
+                    gt_c = jnp.clip(
+                        screen_space_shading(gt, STATS_SHADING), 0, 1)
+                    pn = float(psnr(pred_n, gt_n)[0])
+                    pc = float(psnr(pred_c, gt_c)[0])
+                    sn = float(ssim(pred_n, gt_n, val_range=2.0))
+                    sc = float(ssim(pred_c, gt_c, val_range=1.0))
+                    mv_pn.append(pn)
+                    mv_pc.append(pc)
+                    mv_sn.append(sn)
+                    mv_sc.append(sc)
+                    pn_min, pn_max = min(pn_min, pn), max(pn_max, pn)
+                    pc_min, pc_max = min(pc_min, pc), max(pc_max, pc)
             name = (model_spec if loaded is None
                     else os.path.basename(model_spec.rstrip("/")))
-            f.write(f"{name}\t{p_min:.4f}\t{p_max:.4f}\t"
-                    f"{mv_psnr.mean():.4f}\t{mv_psnr.var():.6f}\t"
-                    f"{s_min:.4f}\t{s_max:.4f}\t{mv_ssim.mean():.4f}\t"
-                    f"{mv_ssim.var():.6f}\t{nan_frames}\n")
-            print(f"{name}: PSNR {mv_psnr.mean():.2f} "
-                  f"[{p_min:.2f}, {p_max:.2f}] dB over "
-                  f"{mv_psnr.count()} views")
+            f.write(f"{name}\t{pn_min:.4f}\t{pn_max:.4f}\t"
+                    f"{mv_pn.mean():.4f}\t{mv_pn.var():.6f}\t"
+                    f"{pc_min:.4f}\t{pc_max:.4f}\t"
+                    f"{mv_pc.mean():.4f}\t{mv_pc.var():.6f}\t"
+                    f"{mv_sn.mean():.4f}\t{mv_sc.mean():.4f}\t"
+                    f"{nan_frames}\n")
+            print(f"{name}: PSNR normal {mv_pn.mean():.2f} "
+                  f"[{pn_min:.2f}, {pn_max:.2f}] dB, "
+                  f"color {mv_pc.mean():.2f} "
+                  f"[{pc_min:.2f}, {pc_max:.2f}] dB over "
+                  f"{mv_pn.count()} views")
     print("wrote", out_path)
 
 

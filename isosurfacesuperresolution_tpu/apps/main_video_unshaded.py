@@ -59,6 +59,11 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["zero", "unshaded", "input"])
     p.add_argument("--disableTemporal", action="store_true")
     p.add_argument("--augment", action="store_true")
+    p.add_argument("--minFillRate", type=float, default=0.5,
+                   help="crop acceptance fill ratio (datasetVideo.py:266-"
+                        "301 uses 0.5; lower it to expose the net to "
+                        "silhouette/empty crops, e.g. for all-angle "
+                        "full-view robustness)")
     p.add_argument("--remat", action="store_true",
                    help="jax.checkpoint the frame body (memory vs flops)")
     # losses (reference :70-90)
@@ -147,6 +152,7 @@ def make_config(args) -> "Config":
             lr_step=args.lrStep, grad_clip=args.gradClip, seed=args.seed,
             initial_image_mode=args.initialImage,
             disable_temporal=args.disableTemporal, augment=args.augment,
+            min_fill_rate=args.minFillRate,
             adv_training=args.advTraining, discr_lr=args.advDiscrLr,
             discr_steps=args.advDiscrMaxSteps,
             gen_steps=args.advGenMaxSteps, remat=args.remat,

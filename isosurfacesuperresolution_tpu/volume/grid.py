@@ -166,7 +166,12 @@ class BrickGrid:
         range - the dtype RAW UCHAR datasets arrive in anyway).
         """
         raw_in = values
-        values = jnp.asarray(values, jnp.float32)
+        # Preprocessing (quantization + skip pyramid) runs host-side in
+        # numpy: a device-side brick reshape of a 1024^3 volume tile-pads
+        # the trailing brick dim 8 -> 128 under the TPU (8,128) layout, a
+        # 16x HBM blowup (observed: 64 GiB for a 4 GiB volume).  Only the
+        # final stored array + small pyramid are transferred.
+        values = np.asarray(values, np.float32)
         if values.ndim != 3:
             raise ValueError(f"expected 3D volume, got shape {values.shape}")
         res = np.asarray(values.shape, np.float32)
@@ -186,19 +191,20 @@ class BrickGrid:
         if store_dtype == "float32":
             stored = values
         elif store_dtype == "bfloat16":
-            stored = values.astype(jnp.bfloat16)
+            import ml_dtypes
+            stored = values.astype(ml_dtypes.bfloat16)
         elif store_dtype == "uint8":
             if (isinstance(raw_in, np.ndarray) and raw_in.dtype == np.uint8):
                 # RAW UCHAR data: keep the importer's bytes bit-exact with
                 # the conventional /255 normalization
-                stored = jnp.asarray(raw_in)
+                stored = raw_in
                 scale = 1.0 / 255.0
             else:
-                vmin = float(jnp.min(values))
-                vmax = float(jnp.max(values))
+                vmin = float(values.min())
+                vmax = float(values.max())
                 span = max(vmax - vmin, 1e-12)
-                q = jnp.round((values - vmin) / span * 255.0)
-                stored = jnp.clip(q, 0, 255).astype(jnp.uint8)
+                q = np.round((values - vmin) / span * 255.0)
+                stored = np.clip(q, 0, 255).astype(np.uint8)
                 scale = span / 255.0
                 offset = vmin
         else:
@@ -206,8 +212,10 @@ class BrickGrid:
         # the skip pyramid bounds the DEQUANTIZED physical values (what the
         # renderer actually samples) so culling stays conservative after
         # quantization
-        physical = stored.astype(jnp.float32) * scale + offset
+        physical = stored.astype(np.float32) * np.float32(scale) \
+            + np.float32(offset)
         brick_min, brick_max = compute_brick_minmax(physical, brick_size)
+        stored = jnp.asarray(stored)
         return cls(values=stored, brick_min=brick_min, brick_max=brick_max,
                    bbox_min=bbox_min, bbox_max=bbox_max,
                    brick_size=brick_size,
@@ -274,38 +282,38 @@ def compute_brick_minmax(values: jnp.ndarray, brick_size: int
     index outside B, so B's bounds must include them.
     """
     b = brick_size
+    # Host-side numpy: a device pool would reshape the volume into
+    # (X/b, b, Y/b, b, Z/b, b), whose trailing brick dim the TPU (8,128)
+    # layout pads 8 -> 128, a 16x HBM blowup (64 GiB at 1024^3 f32).
+    # The pyramid is one-time preprocessing, so it belongs on the host.
+    values = np.asarray(values, np.float32)
     X, Y, Z = values.shape
     px = (-X) % b
     py = (-Y) % b
     pz = (-Z) % b
     # pad with edge values so padding never widens the true range
-    v = jnp.pad(values, ((0, px), (0, py), (0, pz)), mode="edge")
-    Xp, Yp, Zp = v.shape
+    v = np.pad(values, ((0, px), (0, py), (0, pz)), mode="edge")
 
     def pool(v, op, pad_val):
-        blocks = v.reshape(Xp // b, b, Yp // b, b, Zp // b, b)
-        core = op(blocks, axis=(1, 3, 5))
-        # one-voxel apron: take the running op with shifted neighbours
-        vp = jnp.pad(v, 1, mode="constant", constant_values=pad_val)
-        # max/min over each brick extended by 1 voxel on each side:
-        # reduce over (b+2)^3 windows positioned at brick starts.
-        # Implemented by combining the core with 6 face-slabs via shifted pools
-        # would be complex; simplest correct approach: reduce windows directly.
-        windows = []
-        for dx in (0, 1, 2):
-            for dy in (0, 1, 2):
-                for dz in (0, 1, 2):
-                    shifted = vp[dx:dx + Xp:1, dy:dy + Yp:1, dz:dz + Zp:1]
-                    blocks_s = shifted.reshape(Xp // b, b, Yp // b, b, Zp // b, b)
-                    windows.append(op(blocks_s, axis=(1, 3, 5)))
-        out = windows[0]
-        for w in windows[1:]:
-            out = op(jnp.stack([out, w]), axis=0)
+        # min/max over (b+2)^3 windows positioned at brick starts - 1
+        # (brick core + one-voxel apron).  Separable: sliding window of
+        # length b+2 with stride b along each axis in turn; the apron
+        # pad value is the op's identity so it never widens the range.
+        out = np.pad(v, 1, mode="constant", constant_values=pad_val)
+        for ax in range(3):
+            nb = v.shape[ax] // b
+            acc = None
+            sl = [slice(None)] * 3
+            for d in range(b + 2):
+                sl[ax] = slice(d, d + (nb - 1) * b + 1, b)
+                part = out[tuple(sl)]
+                if acc is None:
+                    acc = part.copy()
+                else:
+                    op(acc, part, out=acc)
+            out = acc
         return out
 
-    # NOTE: pooling over 27 shifted copies covers every voxel in the
-    # (b+2)^3 apron window because shifts of 0..2 voxels combined with the
-    # b-aligned blocking tile the halo completely for b >= 2.
-    bmin = pool(v, jnp.min, jnp.inf)
-    bmax = pool(v, jnp.max, -jnp.inf)
-    return bmin, bmax
+    bmin = pool(v, np.minimum, np.inf)
+    bmax = pool(v, np.maximum, -np.inf)
+    return jnp.asarray(bmin), jnp.asarray(bmax)

@@ -44,8 +44,9 @@ def test_allangles_harness(tmp_path):
     assert len(lines) == 2
     vals = lines[1].split("\t")
     assert vals[0] == "bilinear"
-    assert float(vals[3]) > 5.0       # mean PSNR sane
-    assert int(vals[9]) == 0          # no NaN frames
+    assert 5.0 < float(vals[3]) < 80.0    # mean normal PSNR sane
+    assert 5.0 < float(vals[7]) < 80.0    # mean color PSNR sane
+    assert int(vals[11]) == 0             # no NaN frames
 
 
 def test_comparison_video_pngs(tmp_path):
