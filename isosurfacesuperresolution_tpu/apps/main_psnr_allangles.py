@@ -30,6 +30,12 @@ def build_parser():
     p.add_argument("--lowRes", type=int, default=64,
                    help="low-res input size (GT = 4x)")
     p.add_argument("--isovalue", type=float, default=0.5)
+    p.add_argument("--aoSamples", type=int, default=0)
+    p.add_argument("--aoStrength", type=float, default=None,
+                   help="AO shading strength; default 0 when --aoSamples=0 "
+                        "(the reference pairs AO_SAMPLES=0 with "
+                        "AO_STRENGTH=0.0, mainPSNR2_AllAngles.py:140-142), "
+                        "else 0.8 (its commented operating point)")
     p.add_argument("--output", type=str, default="allangles_out")
     p.add_argument("--seed", type=int, default=0)
     return p
@@ -57,9 +63,18 @@ def main(argv=None):
 
     grid, vol_name = load_volume(args.volume)
     low_cfg = RenderConfig(width=args.lowRes, height=args.lowRes,
-                           isovalue=args.isovalue, ao_samples=0)
+                           isovalue=args.isovalue,
+                           ao_samples=args.aoSamples)
     high_cfg = low_cfg.replace(width=args.lowRes * 4,
                                height=args.lowRes * 4)
+    # Reference parity: AO_SAMPLES=0 goes with AO_STRENGTH=0.0
+    # (`mainPSNR2_AllAngles.py:140-142`) - shading must not consume the
+    # AO channel when the protocol renders none, otherwise the net's
+    # *learned* AO is scored against an AO-free ground truth.
+    ao_strength = args.aoStrength
+    if ao_strength is None:
+        ao_strength = 0.0 if args.aoSamples == 0 else 0.8
+    shading_cfg = STATS_SHADING.replace(ao_strength=ao_strength)
 
     rng = np.random.RandomState(args.seed)
     os.makedirs(args.output, exist_ok=True)
@@ -111,7 +126,7 @@ def main(argv=None):
                         pred_n = up[..., 1:4]
                         pred_c = jnp.clip(resize(
                             jnp.clip(screen_space_shading(
-                                low, STATS_SHADING), 0, 1),
+                                low, shading_cfg), 0, 1),
                             scale=4.0, method=model_spec), 0, 1)
                         pred_np = np.asarray(pred_c)
                     else:
@@ -124,14 +139,14 @@ def main(argv=None):
                             method="bilinear") * 0.5 + 0.5, 0.0, 1.0)
                         pred_n = base_mask * pred[..., 1:4]
                         pred_c = base_mask * jnp.clip(
-                            screen_space_shading(pred, STATS_SHADING),
+                            screen_space_shading(pred, shading_cfg),
                             0, 1)
                     if not np.isfinite(pred_np).all():
                         nan_frames += 1        # parity: NaN scan
                         continue
                     gt_n = gt[..., 1:4]
                     gt_c = jnp.clip(
-                        screen_space_shading(gt, STATS_SHADING), 0, 1)
+                        screen_space_shading(gt, shading_cfg), 0, 1)
                     pn = float(psnr(pred_n, gt_n)[0])
                     pc = float(psnr(pred_c, gt_c)[0])
                     sn = float(ssim(pred_n, gt_n, val_range=2.0))
