@@ -133,6 +133,12 @@ def msssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,
     if normalize:
         mssim = (mssim + 1) / 2
         mcs = (mcs + 1) / 2
+    # Deliberate deviation from the reference (`utils/ssim.py:96-99`):
+    # a negative per-scale mean (anticorrelated windows) raised to a
+    # fractional weight is NaN there; clamp at 0 so degenerate scales
+    # contribute 0 instead of poisoning the whole statistic.
+    mssim = jnp.maximum(mssim, 0.0)
+    mcs = jnp.maximum(mcs, 0.0)
     pow1 = mcs ** weights
     pow2 = mssim ** weights
     return jnp.prod(pow1[:-1]) * pow2[-1]

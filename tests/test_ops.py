@@ -149,6 +149,20 @@ def test_msssim_range():
     assert float(msssim(a, a, val_range=1.0)) > 0.999
 
 
+def test_msssim_finite_on_anticorrelated():
+    # The reference's msssim (utils/ssim.py:96-99) NaNs when a scale's
+    # mean contrast term goes negative (fractional power of a negative);
+    # ours clamps at 0 so the statistic stays finite. Anticorrelated
+    # high-frequency structure drives cs negative at the fine scales.
+    rng = np.random.RandomState(3)
+    base = rng.rand(1, 64, 64, 1).astype(np.float32)
+    a = jnp.asarray(0.5 + 0.4 * (base - 0.5))
+    b = jnp.asarray(0.5 - 0.4 * (base - 0.5))   # inverted structure
+    v = float(msssim(a, b, val_range=1.0))
+    assert np.isfinite(v)
+    assert 0.0 <= v <= 1.0
+
+
 def test_mean_variance_against_numpy():
     # parity with the reference's only unit test (utils/mv.py:32-52)
     rng = np.random.RandomState(9)
