@@ -82,10 +82,19 @@ def gyroid_volume(resolution: int = 64,
 
 
 def _spectral_noise(resolution: int, rng: np.random.RandomState,
-                    beta: float = 3.0) -> np.ndarray:
+                    beta: float = 3.0,
+                    min_period_voxels: float = 0.0) -> np.ndarray:
     """Smooth random field by spectral synthesis: white noise shaped by a
     1/f^(beta/2) amplitude spectrum (fBm-like).  Output normalized to
-    zero mean, unit std."""
+    zero mean, unit std.
+
+    ``min_period_voxels`` > 0 band-limits the field: spectral content with
+    period below that many voxels is zeroed.  The reference's datasets are
+    real simulations (Clouds/RM/Ejecta, `mainPSNR3_AllStats.py:29-40`)
+    whose surfaces are smooth at the leaf-voxel scale; a white spectral
+    tail instead makes the rendered high-res normal field sub-Nyquist
+    speckle that no 4x SR method can reconstruct, so quality metrics on
+    such content measure smoothing luck, not super-resolution."""
     white = rng.randn(resolution, resolution, resolution)
     spec = np.fft.rfftn(white)
     kx = np.fft.fftfreq(resolution)[:, None, None]
@@ -93,8 +102,10 @@ def _spectral_noise(resolution: int, rng: np.random.RandomState,
     kz = np.fft.rfftfreq(resolution)[None, None, :]
     k = np.sqrt(kx ** 2 + ky ** 2 + kz ** 2)
     k[0, 0, 0] = 1.0
-    field = np.fft.irfftn(spec / k ** (beta / 2.0),
-                          s=(resolution,) * 3)
+    shaped = spec / k ** (beta / 2.0)
+    if min_period_voxels > 0:
+        shaped = np.where(k > 1.0 / min_period_voxels, 0.0, shaped)
+    field = np.fft.irfftn(shaped, s=(resolution,) * 3)
     field -= field.mean()
     field /= field.std() + 1e-12
     return field.astype(np.float32)
@@ -104,12 +115,18 @@ def turbulence_volume(resolution: int = 64,
                       seed: int = 0,
                       beta: float = 3.5,
                       coverage: float = 0.35,
+                      min_feature_voxels: float = 6.0,
                       brick_size: int = 8) -> BrickGrid:
     """Cloud-like fBm density - the analytic analogue of the reference's
     Clouds datasets (`mainPSNR3_AllStats.py:29-33`): wispy multi-scale
-    structure with soft silhouettes, bounded by a radial falloff."""
+    structure with soft silhouettes, bounded by a radial falloff.
+
+    ``min_feature_voxels`` band-limits the field like the real cloud
+    simulations it mimics (see `_spectral_noise`); 0 restores the legacy
+    white-tail spectrum whose GT normals are voxel-scale speckle."""
     rng = np.random.RandomState(seed)
-    n = _spectral_noise(resolution, rng, beta)
+    n = _spectral_noise(resolution, rng, beta,
+                        min_period_voxels=min_feature_voxels)
     x, y, z = _grid_coords(resolution)
     r = np.sqrt(x ** 2 + y ** 2 + z ** 2)
     falloff = np.clip(1.0 - (r / 0.45) ** 2, 0.0, 1.0)
@@ -171,11 +188,19 @@ def ejecta_volume(resolution: int = 64,
 def interface_volume(resolution: int = 64,
                      seed: int = 0,
                      roughness: float = 0.12,
+                     min_feature_voxels: float = 6.0,
                      brick_size: int = 8) -> BrickGrid:
     """Crumpled-interface slab - the Richtmyer-Meshkov analogue
     (`mainPSNR3_AllStats.py:34-36`): a dense layer whose upper surface is
     displaced by multi-scale 2D noise, yielding folded, overhanging
-    structures once thresholded."""
+    structures once thresholded.
+
+    ``min_feature_voxels`` band-limits both noise fields (see
+    `_spectral_noise`): the RM simulation this mimics is smooth at the
+    voxel scale, and without the cut the rendered GT normal field is
+    voxel-scale speckle - unreconstructable by any SR method and
+    therefore useless as a quality target.  Set 0 for the legacy
+    white-tail behavior."""
     rng = np.random.RandomState(seed)
     res = resolution
     # 2D spectral noise as the interface height field
@@ -185,12 +210,16 @@ def interface_volume(resolution: int = 64,
     ky = np.fft.rfftfreq(res)[None, :]
     k = np.sqrt(kx ** 2 + ky ** 2)
     k[0, 0] = 1.0
-    h = np.fft.irfft2(spec / k ** 1.5, s=(res, res))
+    shaped = spec / k ** 1.5
+    if min_feature_voxels > 0:
+        shaped = np.where(k > 1.0 / min_feature_voxels, 0.0, shaped)
+    h = np.fft.irfft2(shaped, s=(res, res))
     h = (h - h.mean()) / (h.std() + 1e-12)
     x, y, z = _grid_coords(res)
     surface = -0.05 + roughness * h[:, :, None]
     # 3D noise modulates the slab so the interface tears into blobs
-    n3 = _spectral_noise(res, rng, 3.0)
+    n3 = _spectral_noise(res, rng, 3.0,
+                         min_period_voxels=min_feature_voxels)
     d = 0.5 + 4.0 * (surface - z) + 0.35 * n3
     # slab bottom + lateral bounds
     d = np.where(z < -0.35, 0.0, d)
