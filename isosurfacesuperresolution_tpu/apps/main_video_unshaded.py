@@ -181,15 +181,15 @@ def load_sequences(args, cfg):
                   "turbulence": analytic.turbulence_volume,
                   "ejecta": analytic.ejecta_volume,
                   "interface": analytic.interface_volume}
-        if name not in makers and name not in ("mix", "mix2"):
+        if name not in makers and name not in ("mix", "mix2", "mix3"):
             raise SystemExit(f"unknown analytic volume {name}")
-        if name in ("mix", "mix2"):
+        if name in ("mix", "mix2", "mix3"):
             grids = [(analytic.blobs_volume(128, num_blobs=8), (0.5, 0.5)),
                      (analytic.torus_volume(128), (0.5, 0.5)),
                      (analytic.gyroid_volume(128), (0.45, 0.55)),
                      (analytic.blobs_volume(128, num_blobs=14, seed=7),
                       (0.4, 0.6))]
-            if name == "mix2":
+            if name in ("mix2", "mix3"):
                 # round-2 zoo: reference-dataset analogues (Clouds / Ejecta /
                 # RM, mainPSNR3_AllStats.py:29-40) at doubled resolution for
                 # high-frequency training content
@@ -201,6 +201,22 @@ def load_sequences(args, cfg):
                     (analytic.ejecta_volume(256, seed=4,
                                             num_particles=700), (0.3, 0.5)),
                     (analytic.interface_volume(256, seed=5), (0.45, 0.55)),
+                ]
+            if name == "mix3":
+                # mix2 + extra smooth-surface exposure: the band-limited
+                # families showed the speckle-trained net adds spurious
+                # normal detail on resolvable surfaces; weight the slab /
+                # smooth-sheet family higher so it learns that smooth
+                # stays smooth
+                grids += [
+                    (analytic.interface_volume(256, seed=6,
+                                               roughness=0.18),
+                     (0.45, 0.55)),
+                    (analytic.interface_volume(256, seed=7,
+                                               roughness=0.08),
+                     (0.45, 0.55)),
+                    (analytic.turbulence_volume(256, seed=8, beta=4.0),
+                     (0.45, 0.55)),
                 ]
             seq_cfg = SequenceConfig(
                 num_frames=args.numFrames,
