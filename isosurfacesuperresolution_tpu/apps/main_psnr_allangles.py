@@ -62,9 +62,18 @@ def main(argv=None):
     from isosurfacesuperresolution_tpu.train.trainer import clamp_output
 
     grid, vol_name = load_volume(args.volume)
+    ao_radius = 0.2      # the training generator's radius (SequenceConfig)
+    if args.aoSamples > 0:
+        # bake the SH occlusion field once so AO renders ride the sweep's
+        # fast field path; the per-pixel hemisphere-ray oracle at 4x-res
+        # GT views exhausts the chip (data/generation.py does the same)
+        from isosurfacesuperresolution_tpu.render.ao_sweep import (
+            attach_baked_ao)
+        grid = attach_baked_ao(grid, args.isovalue, ao_radius)
     low_cfg = RenderConfig(width=args.lowRes, height=args.lowRes,
                            isovalue=args.isovalue,
-                           ao_samples=args.aoSamples)
+                           ao_samples=args.aoSamples,
+                           ao_radius=ao_radius)
     high_cfg = low_cfg.replace(width=args.lowRes * 4,
                                height=args.lowRes * 4)
     # Reference parity: AO_SAMPLES=0 goes with AO_STRENGTH=0.0
