@@ -108,7 +108,10 @@ class Statistics:
         # SSIM with pred blended onto gt outside the mask (:222)
         pred_b = gt_mnda + mask * (pred_mnda - gt_mnda)
         def s(a, b):
-            return float(msssim(a, b, val_range=1.0))
+            # val_range=None infers L from the data like the reference's
+            # MSSSIM() (utils/ssim.py:105-136 via :34-42): 2 for the
+            # [-1,1] normal channels, 1 for depth/AO/color
+            return float(msssim(a, b, val_range=None))
         self.ssim_normal += s(pred_b[..., 1:4], gt_mnda[..., 1:4])
         self.ssim_depth += s(pred_b[..., 4:5], gt_mnda[..., 4:5])
         self.ssim_ao += s(pred_b[..., 5:6], gt_mnda[..., 5:6])
