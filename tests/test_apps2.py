@@ -49,6 +49,21 @@ def test_allangles_harness(tmp_path):
     assert int(vals[11]) == 0             # no NaN frames
 
 
+def test_allangles_harness_ao(tmp_path):
+    # AO-enabled variant: bakes the SH occlusion field up front (the
+    # hemisphere-ray oracle at 4x GT res crashed the real chip) and
+    # shades with strength 0.8
+    from isosurfacesuperresolution_tpu.apps.main_psnr_allangles import main
+    out = str(tmp_path / "aa_ao")
+    main(["--volume", "analytic:sphere", "--models", "bilinear",
+          "--cameras", "1", "--rolls", "1", "--lowRes", "16",
+          "--aoSamples", "8", "--output", out])
+    tsv = os.path.join(out, "allangles_sphere.tsv")
+    vals = open(tsv).read().strip().split("\n")[1].split("\t")
+    assert 5.0 < float(vals[7]) < 80.0
+    assert int(vals[11]) == 0
+
+
 def test_comparison_video_pngs(tmp_path):
     from isosurfacesuperresolution_tpu.apps.main_comparison_video import main
     out = str(tmp_path / "vid")
