@@ -34,12 +34,19 @@ def build_parser() -> argparse.ArgumentParser:
                         "(sphere|torus|gyroid|blobs|mix), or a .dat/.raw volume")
     p.add_argument("--numberOfImages", type=int, default=8,
                    help="sequences to generate for analytic datasets")
+    p.add_argument("--aoSamples", type=int, default=64,
+                   help="AO sample budget for generated training targets "
+                        "(reference DataGeneratorVideo.py --aosamples 256; "
+                        "0 disables AO in the generated clips)")
     p.add_argument("--testFraction", type=float, default=0.2)
     # model (reference :45-56)
     p.add_argument("--model", type=str, default="EnhanceNet")
     p.add_argument("--upsample", type=str, default="bilinear")
     p.add_argument("--reconType", type=str, default="residual")
     p.add_argument("--useBN", action="store_true")
+    p.add_argument("--useSN", action="store_true",
+                   help="spectral normalization in the generator and "
+                        "discriminator (reference --useSN / apply_sn)")
     p.add_argument("--numResidualLayers", type=int, default=10)
     p.add_argument("--upscaleFactor", type=int, default=4)
     p.add_argument("--computeDtype", type=str, default="float32")
@@ -50,6 +57,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batchSize", type=int, default=16)
     p.add_argument("--epochs", type=int, default=10)
     p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--optim", type=str, default="Adam",
+                   help="Adam (default), RMSprop or Rprop "
+                        "(reference --optim)")
     p.add_argument("--gradClip", type=float, default=1.0,
                    help="global-norm gradient clip; 0 disables")
     p.add_argument("--lrGamma", type=float, default=0.5)
@@ -89,6 +99,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lossBorderPadding", type=int, default=16)
     # adversarial (reference :91-101)
     p.add_argument("--advTraining", action="store_true")
+    p.add_argument("--pretrainedDiscr", type=str, default=None,
+                   help="run dir: initialize the DISCRIMINATOR from its "
+                        "latest checkpoint (reference --pretrainedDiscr)")
+    p.add_argument("--ganType", type=str, default="bce",
+                   choices=["bce", "wgan", "wgan-gp"],
+                   help="adversarial objective (reference: adv vs wgan/"
+                        "wgan-gp loss names, lossbuilder.py:232-304)")
     p.add_argument("--advDiscrLr", type=float, default=1e-4)
     p.add_argument("--advDiscrMaxSteps", type=int, default=1)
     p.add_argument("--advGenMaxSteps", type=int, default=1)
@@ -134,7 +151,8 @@ def make_config(args) -> "Config":
         model=ModelConfig(
             model=args.model, upscale_factor=args.upscaleFactor,
             upsample=args.upsample, recon_type=args.reconType,
-            use_bn=args.useBN, num_residual_blocks=args.numResidualLayers,
+            use_bn=args.useBN, use_sn=args.useSN,
+            num_residual_blocks=args.numResidualLayers,
             compute_dtype=args.computeDtype),
         loss=LossConfig(
             losses=args.losses,
@@ -143,12 +161,14 @@ def make_config(args) -> "Config":
             discriminator=args.discriminator,
             loss_ambient=args.lossAmbient, loss_diffuse=args.lossDiffuse,
             loss_specular=args.lossSpecular, loss_ao=args.lossAO,
-            padding=args.lossBorderPadding),
+            padding=args.lossBorderPadding,
+            gan_type=args.ganType),
         train=TrainConfig(
             batch_size=args.batchSize, crop_size=args.cropSize,
             num_frames=args.numFrames, samples=args.samples,
             test_fraction=args.testFraction, epochs=args.epochs,
-            learning_rate=args.lr, lr_gamma=args.lrGamma,
+            learning_rate=args.lr, optimizer=args.optim.lower(),
+            lr_gamma=args.lrGamma,
             lr_step=args.lrStep, grad_clip=args.gradClip, seed=args.seed,
             initial_image_mode=args.initialImage,
             disable_temporal=args.disableTemporal, augment=args.augment,
@@ -221,7 +241,7 @@ def load_sequences(args, cfg):
             seq_cfg = SequenceConfig(
                 num_frames=args.numFrames,
                 high_res=args.cropSize * args.upscaleFactor * 4,
-                ao_samples=64, distance_range=(0.95, 1.3))
+                ao_samples=args.aoSamples, distance_range=(0.95, 1.3))
             base = RenderConfig(step_voxels=0.5)
             print(f"Generating {args.numberOfImages} sequences from "
                   f"analytic:mix ...")
@@ -231,7 +251,7 @@ def load_sequences(args, cfg):
         seq_cfg = SequenceConfig(
             num_frames=args.numFrames,
             high_res=args.cropSize * args.upscaleFactor * 4,
-            ao_samples=64, distance_range=(0.95, 1.3))
+            ao_samples=args.aoSamples, distance_range=(0.95, 1.3))
         base = RenderConfig(isovalue=0.5, step_voxels=0.5)
         print(f"Generating {args.numberOfImages} sequences from "
               f"analytic:{name} ...")
@@ -264,7 +284,7 @@ def load_sequences(args, cfg):
         seq_cfg = SequenceConfig(
             num_frames=args.numFrames,
             high_res=args.cropSize * args.upscaleFactor * 4,
-            ao_samples=64)
+            ao_samples=args.aoSamples)
         base = RenderConfig(step_voxels=0.5)
         return generate_sequences(grids, args.numberOfImages, seq_cfg,
                                   base_render_cfg=base, seed=args.seed)
@@ -274,7 +294,7 @@ def load_sequences(args, cfg):
         seq_cfg = SequenceConfig(
             num_frames=args.numFrames,
             high_res=args.cropSize * args.upscaleFactor * 4,
-            ao_samples=64)
+            ao_samples=args.aoSamples)
         base = RenderConfig(step_voxels=0.5)
         return generate_sequences([(grid, (0.3, 0.6))],
                                   args.numberOfImages, seq_cfg,
@@ -404,7 +424,8 @@ def main(argv=None) -> None:
 
     model = create_network(cfg.model)
     criterion = LossNetUnshaded(
-        cfg.loss, high_res=t.crop_size * cfg.model.upscale_factor)
+        cfg.loss, high_res=t.crop_size * cfg.model.upscale_factor,
+        use_spectral_norm=args.useSN)
     optimizer = make_optimizer(cfg)
     discr_optimizer = make_optimizer(cfg) if t.adv_training else None
     state = create_train_state(cfg, model, criterion, optimizer,
@@ -464,6 +485,18 @@ def main(argv=None) -> None:
             state = state._replace(params=params)
             print(f"pretrained generator from {args.pretrained} "
                   f"(epoch {epoch})")
+    if args.pretrainedDiscr:
+        # discriminator weights only (reference --pretrainedDiscr,
+        # mainVideoUnshaded.py:323-331); requires --advTraining so the
+        # state carries a discriminator of matching architecture
+        if not t.adv_training:
+            raise SystemExit("--pretrainedDiscr requires --advTraining")
+        pre_mgr = CheckpointManager(args.pretrainedDiscr)
+        discr_params, depoch = pre_mgr.restore_discr_params(
+            state.discr_params, args.restoreEpoch)
+        state = state._replace(discr_params=discr_params)
+        print(f"pretrained discriminator from {args.pretrainedDiscr} "
+              f"(epoch {depoch})")
 
     recent_losses: List[float] = []   # spike-guard window
     for epoch in range(start_epoch, t.epochs + 1):

@@ -155,6 +155,11 @@ class ModelConfig:
     upsample: str = "bilinear"         # nearest | bilinear | bicubic | pixelShuffle
     recon_type: str = "residual"       # residual | direct
     use_bn: bool = False
+    # spectral normalization of every generator conv kernel (the reference's
+    # --useSN applies torch's spectral_norm to generator AND discriminators,
+    # mainVideoUnshaded.py:334-339); implemented as a stateless param
+    # transform at apply time (utils/spectral_norm.apply_sn_tree)
+    use_sn: bool = False
     num_residual_blocks: int = 10
     num_features: int = 64
     compute_dtype: str = "float32"     # "bfloat16" for the fast path
@@ -279,6 +284,7 @@ class TrainConfig:
     test_fraction: float = 0.2
     epochs: int = 1000
     learning_rate: float = 1e-4
+    optimizer: str = "adam"            # adam | rmsprop | rprop (reference --optim)
     lr_gamma: float = 0.5
     lr_step: int = 500
     beta1: float = 0.9

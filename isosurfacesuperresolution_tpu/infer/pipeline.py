@@ -96,6 +96,13 @@ def make_fused_frame(model, cfg: Config, render_cfg: RenderConfig,
             warped = warp_planar(prev, flow, special_mask=True, max_disp=8,
                                  compute_dtype=jnp.dtype(m.compute_dtype))
             net_in = jnp.concatenate([low, warped], axis=-1)
+            if m.use_sn:
+                # the planar engine consumes raw kernels, so the --useSN
+                # transform (a pure function of the params) applies here;
+                # the non-planar path gets it from create_network's wrapper
+                from isosurfacesuperresolution_tpu.utils.spectral_norm import (
+                    apply_sn_tree)
+                params = apply_sn_tree(params)
             pred = planar_apply(params, m, net_in)
             out_planar = clamp_output_planar(pred)
             # NOTE: channel-FIRST (3, Hh, Wh) - the plane transpose is ~5x

@@ -366,11 +366,21 @@ _MODELS = {
 
 
 def create_network(cfg: ModelConfig) -> nn.Module:
-    """Name -> generator module (parity: `models/__init__.py:21-49`)."""
+    """Name -> generator module (parity: `models/__init__.py:21-49`).
+
+    With ``cfg.use_sn`` the module is wrapped so every conv kernel is
+    spectrally normalized at apply time (the reference's ``--useSN`` /
+    ``apply_sn(model)``, `mainVideoUnshaded.py:334-339`); the param tree
+    is unchanged."""
     key = cfg.model.lower()
     if key not in _MODELS:
         raise ValueError(f"Unknown model {cfg.model}")
-    return _MODELS[key](cfg=cfg)
+    module = _MODELS[key](cfg=cfg)
+    if cfg.use_sn:
+        from isosurfacesuperresolution_tpu.utils.spectral_norm import (
+            SpectralNormalizedModule)
+        return SpectralNormalizedModule(module)
+    return module
 
 
 def network_input_channels(cfg: ModelConfig, temporal: bool = True) -> int:

@@ -104,6 +104,25 @@ class CheckpointManager:
             params_template, restored["params"])
         return params, epoch
 
+    def restore_discr_params(self, discr_template,
+                             epoch: Optional[int] = None):
+        """Restore ONLY the discriminator params (the reference's
+        ``--pretrainedDiscr``, `mainVideoUnshaded.py:323-331`)."""
+        epoch = epoch if epoch is not None else self.manager.latest_step()
+        if epoch is None:
+            raise FileNotFoundError(f"no checkpoints in {self.directory}")
+        template = {"discr_params": discr_template}
+        restored = self.manager.restore(
+            epoch, args=ocp.args.PyTreeRestore(
+                item=template,
+                restore_args=ocp.checkpoint_utils.construct_restore_args(
+                    template),
+                partial_restore=True))
+        import jax.numpy as jnp
+        return jax.tree_util.tree_map(
+            lambda t, r: jnp.asarray(r, dtype=t.dtype),
+            discr_template, restored["discr_params"]), epoch
+
     def restore(self, state, epoch: Optional[int] = None):
         """Restore into the structure of ``state`` (parity with
         `--restore`/`--restoreEpoch`, `mainVideoUnshaded.py:345-375`)."""

@@ -64,8 +64,21 @@ def clamp_output(prediction: jnp.ndarray) -> jnp.ndarray:
 
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     t = cfg.train
-    adam = optax.inject_hyperparams(optax.adam)(
-        learning_rate=t.learning_rate, b1=t.beta1, b2=t.beta2)
+    name = getattr(t, "optimizer", "adam").lower()
+    # reference --optim choices: Adam (default), RMSprop, Rprop
+    # (mainVideoUnshaded.py:151-153, createOptimizer)
+    if name == "adam":
+        adam = optax.inject_hyperparams(optax.adam)(
+            learning_rate=t.learning_rate, b1=t.beta1, b2=t.beta2)
+    elif name == "rmsprop":
+        adam = optax.inject_hyperparams(optax.rmsprop)(
+            learning_rate=t.learning_rate)
+    elif name == "rprop":
+        adam = optax.inject_hyperparams(optax.rprop)(
+            learning_rate=t.learning_rate)
+    else:
+        raise ValueError(f"unknown optimizer {t.optimizer!r} "
+                         "(adam | rmsprop | rprop)")
     if getattr(t, "grad_clip", 0.0) and t.grad_clip > 0:
         # outlier batches (silhouette-heavy crops under the 10x-weighted
         # masked normal loss) occasionally produce gradient spikes that

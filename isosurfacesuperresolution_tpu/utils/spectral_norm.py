@@ -40,6 +40,48 @@ def spectral_normalize(w: jnp.ndarray, iterations: int = 5,
     return w / jnp.maximum(sigma, eps)
 
 
+def apply_sn_tree(params: Any) -> Any:
+    """Spectrally normalize every conv/dense ``kernel`` leaf of a param tree.
+
+    The functional analogue of the reference's ``apply_sn(model)``
+    (`utils/apply_sn.py:4-13`), which recursively wraps every Conv2d/Linear
+    of the *generator* in torch's spectral_norm when ``--useSN`` is set
+    (`mainVideoUnshaded.py:334-339`).  Here the model stays unchanged and
+    the normalization is applied to the parameters right before
+    ``model.apply`` - gradients flow through the power iteration exactly as
+    they do through torch's buffered u/v vectors.
+    """
+    def norm(path, leaf):
+        name = getattr(path[-1], "key", None) if path else None
+        if name == "kernel" and hasattr(leaf, "ndim") and leaf.ndim >= 2:
+            return spectral_normalize(leaf)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(norm, params)
+
+
+class SpectralNormalizedModule:
+    """Proxy around a Flax generator that normalizes kernels per forward.
+
+    Returned by ``models.create_network`` when ``ModelConfig.use_sn`` is
+    set; the param tree is identical to the unwrapped module's, so
+    checkpoints are interchangeable (the normalization is a pure function
+    of the raw weights).
+    """
+
+    def __init__(self, inner: nn.Module):
+        self.inner = inner
+
+    def apply(self, params, *args, **kwargs):
+        return self.inner.apply(apply_sn_tree(params), *args, **kwargs)
+
+    def init(self, *args, **kwargs):
+        return self.inner.init(*args, **kwargs)
+
+    def __getattr__(self, name: str) -> Any:
+        return getattr(self.inner, name)
+
+
 class SNConv(nn.Conv):
     """nn.Conv with spectrally normalized kernel."""
 

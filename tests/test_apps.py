@@ -18,7 +18,8 @@ def trained_run(tmp_path_factory):
     main(["--dataset", "analytic:sphere", "--numberOfImages", "2",
           "--numFrames", "2", "--samples", "8", "--cropSize", "8",
           "--batchSize", "2", "--epochs", "2", "--numResidualLayers", "1",
-          "--lossBorderPadding", "2", "--runDir", run_base])
+          "--lossBorderPadding", "2", "--aoSamples", "0",
+          "--runDir", run_base])
     runs = sorted(os.listdir(run_base))
     assert runs == ["run00001"]
     return os.path.join(run_base, "run00001")
@@ -73,8 +74,8 @@ def test_restore_continues_training(trained_run, tmp_path):
     main(["--dataset", "analytic:sphere", "--numberOfImages", "2",
           "--numFrames", "2", "--samples", "8", "--cropSize", "8",
           "--batchSize", "2", "--epochs", "3", "--numResidualLayers", "1",
-          "--lossBorderPadding", "2", "--runDir", run_base,
-          "--restore", trained_run])
+          "--lossBorderPadding", "2", "--aoSamples", "0",
+          "--runDir", run_base, "--restore", trained_run])
 
 
 def test_pretrained_adversarial_stage2(trained_run, tmp_path):
@@ -87,8 +88,8 @@ def test_pretrained_adversarial_stage2(trained_run, tmp_path):
     main(["--dataset", "analytic:sphere", "--numberOfImages", "2",
           "--numFrames", "2", "--samples", "8", "--cropSize", "8",
           "--batchSize", "2", "--epochs", "1", "--numResidualLayers", "1",
-          "--lossBorderPadding", "2", "--runDir", run_base,
-          "--pretrained", trained_run, "--advTraining",
+          "--lossBorderPadding", "2", "--aoSamples", "0",
+          "--runDir", run_base, "--pretrained", trained_run, "--advTraining",
           "--losses", "l1:mask:1,l1:color:1,adv:all:0.1"])
     run = os.path.join(run_base, "run00001")
     assert os.path.exists(os.path.join(run, "checkpoints"))

@@ -15,7 +15,7 @@ def test_shaded_trainer(tmp_path):
           "--numFrames", "2", "--samples", "6", "--cropSize", "8",
           "--batchSize", "2", "--epochs", "2", "--numResidualLayers", "1",
           "--lossBorderPadding", "2", "--losses", "l1:1,temp-l2:0.1",
-          "--runDir", run_base])
+          "--aoSamples", "0", "--runDir", run_base])
     run = os.path.join(run_base, "run00001")
     assert os.path.isdir(os.path.join(run, "checkpoints"))
 

@@ -268,3 +268,69 @@ def test_fused_upsample_stencil_kernel_is_resize():
         dimension_numbers=("NHWC", "HWIO", "NHWC")), 4)
     d = np.abs(np.asarray(y0) - np.asarray(y1))
     assert d[:, 4:-4, 4:-4].max() < 1e-5, d[:, 4:-4, 4:-4].max()
+
+
+# ---------------------------------------------------------------------------
+# --useSN: spectrally normalized generator (reference apply_sn parity)
+# ---------------------------------------------------------------------------
+
+def test_use_sn_generator_wrapper():
+    """`use_sn` wraps the generator so kernels are normalized at apply
+    time (reference --useSN, `mainVideoUnshaded.py:334-339`): identical
+    param tree, output equals applying the plain module to
+    `apply_sn_tree(params)`, and effective kernels have sigma_max <= ~1."""
+    from isosurfacesuperresolution_tpu.utils.spectral_norm import (
+        SpectralNormalizedModule, apply_sn_tree)
+
+    cfg = ModelConfig(num_residual_blocks=2, use_sn=True)
+    net = create_network(cfg)
+    assert isinstance(net, SpectralNormalizedModule)
+    cin = network_input_channels(cfg)
+    x = jnp.asarray(np.random.RandomState(0)
+                    .randn(1, 8, 8, cin).astype(np.float32))
+    params = net.init(jax.random.PRNGKey(0), x)
+
+    plain = create_network(ModelConfig(num_residual_blocks=2))
+    # same tree structure as the unwrapped module -> checkpoints load
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(plain.init(
+                jax.random.PRNGKey(0), x)))
+
+    out_sn, _ = net.apply(params, x)
+    out_ref, _ = plain.apply(apply_sn_tree(params), x)
+    np.testing.assert_allclose(np.asarray(out_sn), np.asarray(out_ref),
+                               atol=1e-6)
+    # SN changes the function (kernels had sigma != 1 at init)
+    out_plain, _ = plain.apply(params, x)
+    assert np.abs(np.asarray(out_sn) - np.asarray(out_plain)).max() > 1e-6
+
+    normed = apply_sn_tree(params)
+    kernels = [leaf for path, leaf in
+               jax.tree_util.tree_flatten_with_path(normed)[0]
+               if getattr(path[-1], "key", None) == "kernel"]
+    assert kernels
+    for k in kernels:
+        sigma = np.linalg.svd(np.asarray(k).reshape(-1, k.shape[-1]),
+                              compute_uv=False)[0]
+        # 5-step stateless power iteration under near-degenerate spectra
+        # (orthogonal init) converges slowly - same approximation regime
+        # as torch's one-step persistent-u estimate early in training
+        assert sigma <= 1.10, sigma
+
+
+def test_optimizer_choices():
+    """--optim parity: adam/rmsprop/rprop all build and step
+    (reference mainVideoUnshaded.py:151-153)."""
+    import optax
+    from isosurfacesuperresolution_tpu.config import Config, TrainConfig
+    from isosurfacesuperresolution_tpu.train.trainer import make_optimizer
+
+    grads = {"w": jnp.ones((3, 3))}
+    for name in ("adam", "rmsprop", "rprop"):
+        cfg = Config(train=TrainConfig(optimizer=name, grad_clip=0.0))
+        opt = make_optimizer(cfg)
+        st = opt.init(grads)
+        updates, _ = opt.update(grads, st, grads)
+        assert np.all(np.isfinite(np.asarray(updates["w"])))
+    with pytest.raises(ValueError):
+        make_optimizer(Config(train=TrainConfig(optimizer="lbfgs")))

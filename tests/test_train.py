@@ -286,6 +286,7 @@ def test_trunk_variance_bounded_at_full_depth():
         assert frac > 0.05, (gate, frac)
 
 
+@pytest.mark.slow
 def test_training_learns_beyond_identity_at_full_depth():
     """The escape-the-bilinear-fixed-point test at the REAL trunk depth
     (10 blocks): a high-frequency detail target that upsampling cannot
@@ -406,3 +407,40 @@ def test_restore_params_only(tmp_path):
     assert len(a) == len(b)
     for x, y in zip(a, b):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+
+
+def test_adversarial_steps_with_sn_and_wgan_gp():
+    """--useSN + --ganType wgan-gp end-to-end: spectrally normalized
+    generator AND discriminators train under the WGAN-GP objective
+    (reference --useSN / wgan-gp losses, lossbuilder.py:266-304)."""
+    cfg = Config(
+        model=ModelConfig(num_residual_blocks=1, num_features=8,
+                          use_sn=True),
+        loss=LossConfig(padding=2, losses="l1:mask:1,adv:all:0.05",
+                        discriminator="enhanceNetSmall",
+                        gan_type="wgan-gp"),
+        train=TrainConfig(batch_size=2, crop_size=8, num_frames=3,
+                          learning_rate=2e-3),
+    )
+    model = create_network(cfg.model)
+    criterion = LossNetUnshaded(cfg.loss, high_res=cfg.train.crop_size * 4,
+                                use_spectral_norm=True)
+    gen_opt = make_optimizer(cfg)
+    discr_opt = make_optimizer(cfg)
+    state = create_train_state(cfg, model, criterion, gen_opt,
+                               jax.random.PRNGKey(0),
+                               discr_optimizer=discr_opt)
+    d_step, g_step = make_adv_train_steps(cfg, model, criterion, gen_opt,
+                                          discr_opt)
+    rng = np.random.RandomState(3)
+    low, flow, high = _fake_clip(rng)
+
+    d_before = jax.tree_util.tree_leaves(state.discr_params)[0].copy()
+    state, d_loss, _, _ = d_step(state, low, flow, high,
+                                 jax.random.PRNGKey(1))
+    assert np.isfinite(float(d_loss))
+    assert float(jnp.abs(jax.tree_util.tree_leaves(state.discr_params)[0]
+                         - d_before).max()) > 0
+    state, g_loss = g_step(state, low, flow, high)
+    state, g_loss = g_step(state, low, flow, high)
+    assert np.isfinite(float(g_loss))
