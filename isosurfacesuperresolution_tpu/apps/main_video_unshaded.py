@@ -200,7 +200,9 @@ def load_sequences(args, cfg):
                   "blobs": analytic.blobs_volume,
                   "turbulence": analytic.turbulence_volume,
                   "ejecta": analytic.ejecta_volume,
-                  "interface": analytic.interface_volume}
+                  "interface": analytic.interface_volume,
+                  "skull": analytic.skull_volume,
+                  "thorax": analytic.thorax_volume}
         if name not in makers and name not in ("mix", "mix2", "mix3"):
             raise SystemExit(f"unknown analytic volume {name}")
         if name in ("mix", "mix2", "mix3"):

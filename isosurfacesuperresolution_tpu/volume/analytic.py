@@ -229,6 +229,144 @@ def interface_volume(resolution: int = 64,
     return BrickGrid.from_dense(d, brick_size=brick_size)
 
 
+def skull_volume(resolution: int = 64,
+                 shell_thickness: float = 0.022,
+                 sharpness: float = 10.0,
+                 brick_size: int = 8) -> BrickGrid:
+    """CT-head analogue - the Skull-dataset stand-in
+    (`mainPSNR3_AllStats.py:29-40` lists Skull among the paper's eval
+    volumes): a thin curved bone shell (ellipsoid cranium, y-up) carved
+    by the foramen magnum, two eye sockets and a nasal opening, a lower
+    jaw arc, and a lower-density brain body inside.
+
+    Rendering characteristics this adds over the other families: large
+    smooth thin shells (interpolation is strong here - a hard test for
+    the net's "smooth stays smooth" behavior), sharp silhouette holes,
+    and a nested second surface that appears when the isovalue drops
+    below the brain density (~0.45).  Bone crosses 0.5 exactly at its
+    surface; all features are smooth analytic primitives, so the GT is
+    band-limited by construction.
+    """
+    x, y, z = _grid_coords(resolution)
+
+    def ellipsoid_sdf(cx, cy, cz, ax, ay, az):
+        # approximate signed distance: normalized radial excess scaled
+        # by the smallest semi-axis (exact enough under the density ramp)
+        q = np.sqrt(((x - cx) / ax) ** 2 + ((y - cy) / ay) ** 2
+                    + ((z - cz) / az) ** 2)
+        return (q - 1.0) * min(ax, ay, az)
+
+    # cranium: thin shell of an ellipsoid, slightly taller than wide
+    cran = ellipsoid_sdf(0.0, 0.06, 0.0, 0.27, 0.32, 0.29)
+    shell = np.abs(cran) - shell_thickness
+
+    # carve openings (smooth-subtract: shell stays outside the cutters)
+    def sphere_sdf(cx, cy, cz, r):
+        return np.sqrt((x - cx) ** 2 + (y - cy) ** 2
+                       + (z - cz) ** 2) - r
+
+    cutters = [
+        # foramen magnum: opening at the bottom
+        np.maximum(np.sqrt(x ** 2 + z ** 2) - 0.07, -(y + 0.18)),
+        # eye sockets: two spheres on the +z face
+        sphere_sdf(-0.11, 0.10, 0.27, 0.075),
+        sphere_sdf(+0.11, 0.10, 0.27, 0.075),
+        # nasal opening
+        sphere_sdf(0.0, -0.02, 0.29, 0.045),
+    ]
+    for c in cutters:
+        shell = np.maximum(shell, -c)
+
+    # lower jaw: half-torus arc below the cranium, open to the back
+    jaw_q = np.sqrt(x ** 2 + (z - 0.05) ** 2) - 0.17
+    jaw = np.sqrt(jaw_q ** 2 + (y + 0.24) ** 2) - 0.025
+    jaw = np.maximum(jaw, -(z + 0.02))          # keep the front arc only
+    bone = np.minimum(shell, jaw)
+
+    d = np.clip(0.5 - sharpness * bone, 0.0, 1.0)
+
+    # brain: smooth wrinkled body inside, peak density 0.45 (below the
+    # default isovalue - drops to ~0.4 reveal the nested surface)
+    brain_sdf = ellipsoid_sdf(0.0, 0.08, 0.0, 0.21, 0.25, 0.23)
+    w = 2.0 * np.pi * 7.0
+    wrinkle = 0.012 * (np.sin(w * x) * np.sin(w * y + 1.3)
+                       + np.cos(w * z + 0.7))
+    brain = np.clip(0.45 * np.clip(0.5 - 9.0 * (brain_sdf + wrinkle),
+                                   0.0, 1.0), 0.0, 0.45)
+    d = np.maximum(d, brain).astype(np.float32)
+    return BrickGrid.from_dense(d, brick_size=brick_size)
+
+
+def thorax_volume(resolution: int = 64,
+                  num_ribs: int = 7,
+                  sharpness: float = 12.0,
+                  brick_size: int = 8) -> BrickGrid:
+    """CT-chest analogue - the Thorax-dataset stand-in
+    (`mainPSNR3_AllStats.py:29-40`): an elliptical ribcage (y-up) of
+    thin curved rib rings around two lung cavities, a vertebrae-bumped
+    spine column at the back, a sternum bar at the front, and a
+    low-density soft-tissue body.
+
+    At the default isovalue 0.5 only bone is visible - many thin,
+    repeated, curved structures with gaps, the classic hard case for
+    super-resolution (sub-pixel ribs alias at low res).  Dropping the
+    isovalue to ~0.3 shows the smooth body surface instead.  Densities:
+    bone ramps through 0.5 at its surface, soft tissue plateaus at
+    0.35, lungs carve it to ~0.1.
+    """
+    x, y, z = _grid_coords(resolution)
+    res = resolution
+
+    # soft-tissue body: superellipsoid, wide in x, shallow in z
+    bq = (np.abs(x / 0.33) ** 3 + np.abs(y / 0.43) ** 3
+          + np.abs(z / 0.23) ** 3)
+    body = 0.35 * np.clip(1.6 * (1.0 - bq), 0.0, 1.0)
+    # lungs: two ellipsoidal cavities
+    for sx in (-1.0, 1.0):
+        lq = (((x - sx * 0.13) / 0.11) ** 2 + ((y - 0.05) / 0.24) ** 2
+              + (z / 0.13) ** 2)
+        body = np.where(lq < 1.0, np.minimum(body, 0.1 + 0.25 * lq), body)
+
+    bone = np.full_like(x, 1e9)
+
+    # rib rings: elliptical tori following the body cross-section,
+    # computed on a y-window slab each so 256^3 stays cheap
+    coords = (np.arange(res, dtype=np.float32) + 0.5) / res - 0.5
+    rib_r = 0.013
+    for k in range(num_ribs):
+        yk = -0.22 + 0.50 * (k + 0.5) / num_ribs
+        # body half-axes at this height (superellipsoid cross-section)
+        s = np.clip(1.0 - np.abs(yk / 0.43) ** 3, 0.0, None) ** (1.0 / 3.0)
+        ax_k, az_k = 0.29 * s, 0.20 * s
+        if min(ax_k, az_k) < 0.05:
+            continue
+        lo = int(np.searchsorted(coords, yk - 4 * rib_r))
+        hi = int(np.searchsorted(coords, yk + 4 * rib_r)) + 1
+        lo, hi = max(lo, 0), min(hi, res)
+        xs = x[:, lo:hi, :]
+        ys = y[:, lo:hi, :]
+        zs = z[:, lo:hi, :]
+        f = np.sqrt((xs / ax_k) ** 2 + (zs / az_k) ** 2) - 1.0
+        ring = np.sqrt((f * 0.5 * (ax_k + az_k)) ** 2 + (ys - yk) ** 2)
+        bone[:, lo:hi, :] = np.minimum(bone[:, lo:hi, :], ring - rib_r)
+
+    # spine: vertical capsule at the back with vertebra bumps
+    vert = 0.006 * np.cos(2.0 * np.pi * y / 0.055)
+    spine = (np.sqrt(x ** 2 + (z + 0.165) ** 2) - (0.035 + vert))
+    spine = np.maximum(spine, np.abs(y - 0.03) - 0.30)
+    bone = np.minimum(bone, spine)
+
+    # sternum: thin vertical bar at the front
+    stern = np.maximum.reduce([np.abs(x) - 0.025,
+                               np.abs(y - 0.06) - 0.17,
+                               np.abs(z - 0.185) - 0.018])
+    bone = np.minimum(bone, stern)
+
+    d = np.maximum(np.clip(0.5 - sharpness * bone, 0.0, 1.0), body)
+    return BrickGrid.from_dense(d.astype(np.float32),
+                                brick_size=brick_size)
+
+
 def blobs_volume(resolution: int = 64,
                  num_blobs: int = 6,
                  seed: int = 0,

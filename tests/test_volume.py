@@ -85,3 +85,47 @@ def test_sphere_volume_crosses_isovalue_at_radius():
     below = np.where(d < 0.5)[0]
     crossing = xs[below[0]]
     assert abs(crossing - 0.3) < 0.02
+
+
+def test_skull_volume_structure():
+    """CT-head analogue (mainPSNR3_AllStats.py:29-40 Skull stand-in):
+    a thin bone shell with openings and a nested lower-density brain."""
+    g = analytic.skull_volume(96)
+    d = np.asarray(g.values)
+    occ = (d >= 0.5).mean()
+    # thin shell: bone occupies a small fraction of the box
+    assert 0.01 < occ < 0.15
+    # the brain body exists strictly below the bone isovalue: lowering
+    # the threshold to 0.4 roughly doubles the occupied region
+    assert (d >= 0.4).mean() > 1.7 * occ
+    # eye socket: the shell is carved open on the +z face near (+-.11,.1)
+    def world_density(p):
+        vox = g.world_to_voxel(jnp.asarray([p], jnp.float32))
+        return float(np.asarray(g.sample_trilinear(vox))[0])
+    # a ray along +z through the socket center crosses no bone >= 0.5
+    # outside the brain (sample the shell band radius only)
+    zs = np.linspace(0.24, 0.34, 21)
+    assert all(world_density((0.11, 0.10, z)) < 0.5 for z in zs)
+    # ... but does cross bone off-socket (through the forehead)
+    zs_hit = np.linspace(0.15, 0.40, 51)
+    assert any(world_density((0.0, 0.22, z)) >= 0.5 for z in zs_hit)
+
+
+def test_thorax_volume_structure():
+    """CT-chest analogue: thin rib rings + spine at bone threshold,
+    smooth body + lung cavities below it."""
+    g = analytic.thorax_volume(96)
+    d = np.asarray(g.values)
+    occ_bone = (d >= 0.5).mean()
+    # bone is sparse thin structure
+    assert 0.001 < occ_bone < 0.05
+    # soft tissue appears at isovalue 0.3 and is much larger
+    assert (d >= 0.3).mean() > 5.0 * occ_bone
+    # lung cavities: density at the lung centers is below soft tissue
+    def world_density(p):
+        vox = g.world_to_voxel(jnp.asarray([p], jnp.float32))
+        return float(np.asarray(g.sample_trilinear(vox))[0])
+    assert world_density((0.13, 0.05, 0.0)) < 0.2
+    assert world_density((-0.13, 0.05, 0.0)) < 0.2
+    # spine column is bone
+    assert world_density((0.0, 0.0, -0.165)) >= 0.5
