@@ -38,6 +38,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="AO sample budget for generated training targets "
                         "(reference DataGeneratorVideo.py --aosamples 256; "
                         "0 disables AO in the generated clips)")
+    p.add_argument("--cameraDistance", type=str, default="0.95,1.3",
+                   help="lo,hi camera-distance range for generated analytic "
+                        "clips; the eval harnesses render at the reference "
+                        "default 0.6-1.0 (DataGeneratorVideo.py camera "
+                        "sphere), so fine-tunes targeting those protocols "
+                        "should span it, e.g. 0.6,1.3")
     p.add_argument("--testFraction", type=float, default=0.2)
     # model (reference :45-56)
     p.add_argument("--model", type=str, default="EnhanceNet")
@@ -182,6 +188,13 @@ def make_config(args) -> "Config":
     )
 
 
+def _camera_distance(args):
+    lo, hi = (float(v) for v in args.cameraDistance.split(","))
+    if not (0.0 < lo <= hi):
+        raise SystemExit(f"bad --cameraDistance {args.cameraDistance!r}")
+    return (lo, hi)
+
+
 def load_sequences(args, cfg):
     """Dataset resolution: npy dirs, analytic generator, or RAW volumes."""
     from isosurfacesuperresolution_tpu.config import RenderConfig
@@ -243,7 +256,8 @@ def load_sequences(args, cfg):
             seq_cfg = SequenceConfig(
                 num_frames=args.numFrames,
                 high_res=args.cropSize * args.upscaleFactor * 4,
-                ao_samples=args.aoSamples, distance_range=(0.95, 1.3))
+                ao_samples=args.aoSamples,
+                distance_range=_camera_distance(args))
             base = RenderConfig(step_voxels=0.5)
             print(f"Generating {args.numberOfImages} sequences from "
                   f"analytic:mix ...")
@@ -253,7 +267,8 @@ def load_sequences(args, cfg):
         seq_cfg = SequenceConfig(
             num_frames=args.numFrames,
             high_res=args.cropSize * args.upscaleFactor * 4,
-            ao_samples=args.aoSamples, distance_range=(0.95, 1.3))
+            ao_samples=args.aoSamples,
+            distance_range=_camera_distance(args))
         base = RenderConfig(isovalue=0.5, step_voxels=0.5)
         print(f"Generating {args.numberOfImages} sequences from "
               f"analytic:{name} ...")

@@ -19,10 +19,22 @@ def trained_run(tmp_path_factory):
           "--numFrames", "2", "--samples", "8", "--cropSize", "8",
           "--batchSize", "2", "--epochs", "2", "--numResidualLayers", "1",
           "--lossBorderPadding", "2", "--aoSamples", "0",
+          "--cameraDistance", "0.8,1.2",
           "--runDir", run_base])
     runs = sorted(os.listdir(run_base))
     assert runs == ["run00001"]
     return os.path.join(run_base, "run00001")
+
+
+def test_camera_distance_flag():
+    from isosurfacesuperresolution_tpu.apps.main_video_unshaded import (
+        _camera_distance, build_parser)
+    p = build_parser()
+    assert _camera_distance(p.parse_args([])) == (0.95, 1.3)
+    assert _camera_distance(
+        p.parse_args(["--cameraDistance", "0.6,1.3"])) == (0.6, 1.3)
+    with pytest.raises(SystemExit):
+        _camera_distance(p.parse_args(["--cameraDistance", "1.3,0.6"]))
 
 
 def test_cli_trainer_outputs(trained_run):
