@@ -122,6 +122,13 @@ def _sweep_permuted(values: jnp.ndarray,      # (X, Y, Z) permuted volume
         vmax_z = packed_axis.slice_max         # precomputed at pack time
     else:
         vmax_z = jnp.max(values, axis=(0, 1))  # per-slice max for culling
+    # vmax_z is in STORED units (uint8 bytes / quantized floats); the
+    # isovalue is physical.  Compare in stored units, otherwise uint8
+    # volumes never cull (255 >= iso always) and value-floor quantized
+    # volumes can cull slices whose dequantized values DO cross iso.
+    iso_stored = ((iso - grid.value_offset) / grid.value_scale
+                  if (grid.value_scale != 1.0 or grid.value_offset != 0.0)
+                  else iso)
 
     zero = jnp.zeros((Sn, Tn), jnp.float32)
     inv_zss = 1.0 / zss
@@ -187,7 +194,7 @@ def _sweep_permuted(values: jnp.ndarray,      # (X, Y, Z) permuted volume
 
         zc, lam, zf, fz, smax, valid = slice_meta(m)
         # skip slices that cannot contain the isosurface
-        do = valid & (smax >= iso)
+        do = valid & (smax >= iso_stored)
         F = jax.lax.cond(do, lambda: resample_slice(lam, zf, fz),
                          lambda: zero)
         F = jnp.where(valid, F, zero)
@@ -225,7 +232,7 @@ def _sweep_permuted(values: jnp.ndarray,      # (X, Y, Z) permuted volume
             march_pallas)
         ms = jnp.arange(K, dtype=jnp.float32)
         zcs, lams, zfs, fzs, smaxs, valids = jax.vmap(slice_meta)(ms)
-        flags = (valids & (smaxs >= iso)).astype(jnp.float32)
+        flags = (valids & (smaxs >= iso_stored)).astype(jnp.float32)
         meta = jnp.stack(
             [zcs, lams, zfs.astype(jnp.float32), fzs, flags,
              jnp.full_like(zcs, iso),

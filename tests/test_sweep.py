@@ -201,3 +201,41 @@ def test_sweep_training_target_db_cost():
     assert worst["mask"] > 15.0, worst
     assert worst["normal"] > 22.0, worst
     assert worst["depth"] > 35.0, worst
+
+
+def test_sweep_cull_compares_in_stored_units():
+    """Slice culling must convert the physical isovalue into STORED units
+    before comparing against the per-slice max of the stored array.
+
+    Regression: a uint8-quantized volume with a value floor ABOVE the
+    isovalue stores its all-floor slices as byte 0; comparing the stored
+    max (0) against the physical iso wrongly culled those slices even
+    though every dequantized value (the floor) crosses the isovalue, so
+    the rendered surface lost the regions where the field sits at the
+    floor."""
+    from isosurfacesuperresolution_tpu.volume.grid import BrickGrid
+
+    n = 48
+    c = (np.arange(n, dtype=np.float32) + 0.5) / n - 0.5
+    x, y, z = np.meshgrid(c, c, c, indexing="ij")
+    r = np.sqrt(x * x + y * y + z * z)
+    bump = np.clip(1.0 - r / 0.35, 0.0, 1.0)      # 1 at center -> 0 at r=.35
+    field = 0.4 + 0.6 * bump                       # floor 0.4, peak 1.0
+    cam = CameraParams.create((0.3, 0.9, -1.6))
+    cfg = RenderConfig(width=48, height=48, isovalue=0.35, ao_samples=0)
+
+    g32 = BrickGrid.from_dense(field, store_dtype="float32")
+    gq = BrickGrid.from_dense(field, store_dtype="uint8")
+    m32 = np.asarray(render_gbuffer_sweep(g32, cam, cam, cfg))[..., 3]
+    mq = np.asarray(render_gbuffer_sweep(gq, cam, cam, cfg))[..., 3]
+    # iso below the floor: the whole cube is inside, the surface is the
+    # cube boundary -- the quantized render must agree with float32
+    assert m32.mean() > 0.3, m32.mean()
+    assert np.mean(m32 != mq) < 0.02, np.mean(m32 != mq)
+
+    # and an iso WITHIN the value range must still match (cull enabled but
+    # conservative for uint8 storage)
+    cfg2 = RenderConfig(width=48, height=48, isovalue=0.7, ao_samples=0)
+    m32b = np.asarray(render_gbuffer_sweep(g32, cam, cam, cfg2))[..., 3]
+    mqb = np.asarray(render_gbuffer_sweep(gq, cam, cam, cfg2))[..., 3]
+    assert np.mean(m32b != mqb) < 0.02, np.mean(m32b != mqb)
