@@ -48,7 +48,8 @@ def config_from_json(path: str) -> Config:
 class LoadedModel:
     """A generator + params restored from a run directory."""
 
-    def __init__(self, model, params, cfg: Config):
+    def __init__(self, model, params, cfg: Config,
+                 bare_input: bool = False):
         self.model = model
         self.params = params
         self.cfg = cfg
@@ -56,6 +57,13 @@ class LoadedModel:
         self.upscale_factor = cfg.model.upscale_factor
         self.initial_image_mode = cfg.train.initial_image_mode
         self.inverse_ao = cfg.train.ao_inverted
+        # True only for nets whose first conv consumes the low-res
+        # channels alone (reference-imported single-frame checkpoints,
+        # `loadedmodel.py:36-55`).  Framework-trained --disableTemporal
+        # runs are NOT bare: the trainer concatenates the flattened
+        # initial image every frame (train/trainer.py _frame_inputs), so
+        # their checkpoints expect the full temporal channel count.
+        self.bare_input = bare_input
 
     @classmethod
     def from_run_dir(cls, run_dir: str, epoch: Optional[int] = None,
@@ -136,9 +144,13 @@ class LoadedModel:
         from isosurfacesuperresolution_tpu.models.videotools import (
             flatten_high, initial_image, warp_upscale)
         u = self.upscale_factor
-        if self.cfg.train.disable_temporal:
+        if self.bare_input:
             prediction, _ = self.model.apply(self.params, current_low)
             return prediction
+        if self.cfg.train.disable_temporal:
+            # trainer parity: disableTemporal checkpoints were trained
+            # with the flattened INITIAL image concatenated every frame
+            prev_high = None
         if prev_high is None:
             previous_warped = initial_image(
                 current_low, self.cfg.model.output_channels,

@@ -329,4 +329,4 @@ def load_reference_pth(path: str, fast: bool = False):
     params = jax.tree_util.tree_unflatten(
         jax.tree_util.tree_structure(template),
         [flat_p[k] for k, _ in flat_t])
-    return LoadedModel(model, params, cfg)
+    return LoadedModel(model, params, cfg, bare_input=not temporal)

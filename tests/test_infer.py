@@ -118,3 +118,46 @@ def test_pipeline_set_render_params_no_recompile(setup):
     c = np.asarray(pipe.frame(grid, cam))
     assert pipe._frame._cache_size() == n0, "fused frame recompiled"
     assert np.abs(a - b).max() > 1e-3 or np.abs(b - c).max() > 1e-3
+
+
+def test_loadedmodel_disable_temporal_framework_checkpoint():
+    """Framework-trained --disableTemporal checkpoints still expect the
+    flattened initial image concatenated (the trainer builds net_in that
+    way for every frame); LoadedModel.inference must feed the same
+    channel count instead of the bare low-res input.
+
+    Regression: an early-return applied the model to current_low alone,
+    crashing on every framework-trained disableTemporal run."""
+    import dataclasses
+
+    from isosurfacesuperresolution_tpu.config import Config
+    from isosurfacesuperresolution_tpu.infer.loadedmodel import LoadedModel
+    from isosurfacesuperresolution_tpu.models.generators import (
+        create_network, network_input_channels)
+
+    cfg = Config(model=ModelConfig(num_residual_blocks=2, num_features=8))
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, disable_temporal=True))
+    model = create_network(cfg.model)
+    cin = network_input_channels(cfg.model)     # temporal channel count
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, cin)))
+    lm = LoadedModel(model, params, cfg)
+
+    low = jnp.zeros((1, 8, 8, 5))
+    flow = jnp.zeros((1, 8, 8, 2))
+    out = lm.inference(low, None, flow)
+    assert out.shape == (1, 32, 32, 6)
+    # a stale prev_high must be ignored (trainer treats every frame as
+    # frame 0 when temporal is disabled), not crash or change shape
+    prev = jnp.ones((1, 32, 32, 6))
+    out2 = lm.inference(low, prev, flow)
+    assert out2.shape == (1, 32, 32, 6)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2))
+
+    # reference-imported single-frame nets consume the bare input
+    cin_bare = network_input_channels(cfg.model, temporal=False)
+    params_b = model.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, 8, 8, cin_bare)))
+    lm_b = LoadedModel(model, params_b, cfg, bare_input=True)
+    out_b = lm_b.inference(low, None, flow)
+    assert out_b.shape == (1, 32, 32, 6)
