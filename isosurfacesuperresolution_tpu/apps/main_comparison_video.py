@@ -161,7 +161,13 @@ def run_preset(args) -> None:
             eye = (d * math.sin(ang), 0.9, -d * math.cos(ang))
             row = []
             for mode in mode_list:
-                viewer.set_mode(mode)
+                # switch the ACTIVE mode only: set_mode() resets every
+                # pipeline's temporal state, which would pin recurrent
+                # models at frame 0 for the whole video.  Each pipeline
+                # keeps its own prev-frame/camera state, so flipping the
+                # mode per column lets every model advance its own
+                # recurrence across the rotation.
+                viewer.mode = mode
                 viewer.camera.current_distance, viewer.camera.current_pitch, \
                     viewer.camera.current_yaw = viewer.camera.to_angles(eye)
                 rgb = np.asarray(viewer.render_frame())
@@ -242,8 +248,11 @@ def main(argv=None):
                 viewer.camera.current_distance, viewer.camera.current_pitch, \
                     viewer.camera.current_yaw = viewer.camera.to_angles(eye)
                 if s["isovalue"] != viewer.render_cfg.isovalue:
-                    viewer.set_isovalue(s["isovalue"])
-                    viewer.set_mode(mode)
+                    # keep the temporal recurrence across the sweep
+                    # (reference video3 renders isovalue ramps without
+                    # clearing previous_frames)
+                    viewer.set_isovalue(s["isovalue"],
+                                        reset_temporal=False)
                 rgb = viewer.render_frame()
                 frames.append((np.clip(rgb, 0, 1) * 255).astype(np.uint8))
             tag = f"{vol_name}_{args.script}_{mode}_{channel}"

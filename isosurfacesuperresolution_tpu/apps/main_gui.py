@@ -73,13 +73,18 @@ class Viewer:
         self.input_name = "volume"
 
     # -- controls ------------------------------------------------------------
-    def set_isovalue(self, v: float):
+    def set_isovalue(self, v: float, reset_temporal: bool = True):
         # traced parameter: existing compiled pipelines update in place
-        # (no recompile per slider step; render/params.py)
+        # (no recompile per slider step; render/params.py).
+        # reset_temporal=True matches the reference GUI (slider moves
+        # clear previous_raw_frame, mainGUI.py:647); scripted isovalue
+        # sweeps pass False to keep the recurrence across the sweep like
+        # mainComparisonVideo3's render loop.
         self.render_cfg = self.render_cfg.replace(isovalue=float(v))
         for p in self._pipelines.values():
             p.set_render_params(isovalue=float(v))
-        self.reset_temporal()
+        if reset_temporal:
+            self.reset_temporal()
 
     def set_material(self, **kw):
         """Traced material/light knobs (diffuse_color, ambient_color,

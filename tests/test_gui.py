@@ -90,3 +90,26 @@ def test_screenshot(viewer, tmp_path):
     assert info["model"] == "bilinear"
     assert info["channel"] == "color"
     assert "shading" in info and "ao" in info
+
+
+def test_preset_mode_switch_keeps_temporal_state():
+    """Side-by-side preset videos flip the active mode per column; this
+    must not clear the per-pipeline temporal state, or recurrent models
+    render as perpetual frame 0 (regression: run_preset called set_mode,
+    which resets every pipeline)."""
+    grid = analytic.blobs_volume(32, num_blobs=5)
+    v = Viewer(grid, models={}, res_x=24, res_y=24, isovalue=0.5)
+    v.set_mode("bilinear")
+    v.render_frame()
+    pipe = v._pipeline("bilinear")
+    assert pipe._last_cam is not None
+    # the preset loop's per-column switch: plain attribute assignment
+    v.mode = "nearest"
+    v.render_frame()
+    assert pipe._last_cam is not None       # bilinear state survives
+    # scripted isovalue sweep keeps recurrence when asked
+    v.set_isovalue(0.45, reset_temporal=False)
+    assert pipe._last_cam is not None
+    # GUI slider semantics (reference mainGUI.py:647): reset by default
+    v.set_isovalue(0.5)
+    assert pipe._last_cam is None
