@@ -498,7 +498,11 @@ void active_bbox(const Tree& tree, int32_t mn[3], int32_t mx[3]) {
     if (!any) throw std::runtime_error("grid has no active voxels");
 }
 
-LoadedGrid load_grid(Reader& r, const FileInfo& info, const GridEntry& g) {
+// load_values=false: topology-only decode (tiles + leaf value masks) -
+// enough for active_bbox/voxel_size without inflating any leaf payload,
+// so vdb_probe does not pay the zlib cost of the whole grid.
+LoadedGrid load_grid(Reader& r, const FileInfo& info, const GridEntry& g,
+                     bool load_values = true) {
     LoadedGrid out;
     if (g.type != "Tree_float_5_4_3")
         throw std::runtime_error("unsupported grid type: " + g.type +
@@ -514,9 +518,11 @@ LoadedGrid load_grid(Reader& r, const FileInfo& info, const GridEntry& g) {
     read_metadata(r);                      // skipped generically
     read_transform(r, out.voxel_size);
     out.tree = read_tree(r, ctx);
-    r.pos = static_cast<size_t>(g.block_pos);
-    ctx.background = out.tree.background;
-    read_leaf_buffers(r, ctx, out.tree);
+    if (load_values) {
+        r.pos = static_cast<size_t>(g.block_pos);
+        ctx.background = out.tree.background;
+        read_leaf_buffers(r, ctx, out.tree);
+    }
     active_bbox(out.tree, out.bbox_min, out.bbox_max);
     return out;
 }
@@ -533,12 +539,24 @@ void fill_dense(const LoadedGrid& g, float* out) {
         if (x < 0 || y < 0 || z < 0 || x >= X || y >= Y || z >= Z) return;
         out[(x * Y + y) * Z + z] = v;
     };
-    for (const Tile& t : g.tree.tiles)
-        for (int64_t x = 0; x < t.dim; ++x)
-            for (int64_t y = 0; y < t.dim; ++y)
-                for (int64_t z = 0; z < t.dim; ++z)
-                    put(t.origin.x + x, t.origin.y + y, t.origin.z + z,
-                        t.value);
+    // clip each tile to the output window BEFORE iterating: a legal
+    // root-level tile spans 4096^3 voxels, and unclipped loops would run
+    // ~7e10 iterations even when the caller's bbox is small
+    for (const Tile& t : g.tree.tiles) {
+        const int64_t x0 = std::max<int64_t>(t.origin.x, mn[0]) - mn[0];
+        const int64_t y0 = std::max<int64_t>(t.origin.y, mn[1]) - mn[1];
+        const int64_t z0 = std::max<int64_t>(t.origin.z, mn[2]) - mn[2];
+        const int64_t x1 = std::min<int64_t>(t.origin.x + t.dim - 1,
+                                             g.bbox_max[0]) - mn[0];
+        const int64_t y1 = std::min<int64_t>(t.origin.y + t.dim - 1,
+                                             g.bbox_max[1]) - mn[1];
+        const int64_t z1 = std::min<int64_t>(t.origin.z + t.dim - 1,
+                                             g.bbox_max[2]) - mn[2];
+        for (int64_t x = x0; x <= x1; ++x)
+            for (int64_t y = y0; y <= y1; ++y)
+                for (int64_t z = z0; z <= z1; ++z)
+                    out[(x * Y + y) * Z + z] = t.value;
+    }
     for (const LeafNode& leaf : g.tree.leaves) {
         for (size_t i = 0; i < 512; ++i) {
             if (!mask_bit(leaf.value_mask, i)) continue;
@@ -576,7 +594,7 @@ int vdb_probe(const char* path, const char* grid_name, int32_t* bbox_out,
         FileInfo info = read_file_header(r);
         const GridEntry* g = find_grid(info, grid_name);
         if (!g) { set_err(err, errlen, "grid not found"); return -2; }
-        LoadedGrid grid = load_grid(r, info, *g);
+        LoadedGrid grid = load_grid(r, info, *g, /*load_values=*/false);
         for (int i = 0; i < 3; ++i) {
             bbox_out[i] = grid.bbox_min[i];
             bbox_out[3 + i] = grid.bbox_max[i];

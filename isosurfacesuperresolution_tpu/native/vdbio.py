@@ -45,7 +45,10 @@ def grid_names(path: str) -> List[str]:
 def probe(path: str, grid_name: str = ""
           ) -> Tuple[Tuple[int, int, int, int, int, int],
                      Tuple[float, float, float]]:
-    """Active bounding box (inclusive) and voxel size of a grid."""
+    """Active bounding box (inclusive) and voxel size of a grid.
+
+    Topology-only on the native side: leaf payloads are never inflated,
+    so probing a large zip-compressed file is cheap."""
     bbox = (ctypes.c_int32 * 6)()
     vox = (ctypes.c_double * 3)()
     err = ctypes.create_string_buffer(_ERRLEN)

@@ -46,8 +46,13 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
     coordinator_address = (coordinator_address
                            or os.environ.get("JAX_COORDINATOR_ADDRESS"))
     if coordinator_address and jax.process_count() == 1:
-        num = num_processes or int(os.environ.get("JAX_NUM_PROCESSES", "1"))
-        pid = process_id or int(os.environ.get("JAX_PROCESS_ID", "0"))
+        # `is not None`, not truthiness: process_id=0 (the coordinator
+        # host itself) is falsy and must not be overridden by a stale
+        # JAX_PROCESS_ID in the environment
+        num = (num_processes if num_processes is not None
+               else int(os.environ.get("JAX_NUM_PROCESSES", "1")))
+        pid = (process_id if process_id is not None
+               else int(os.environ.get("JAX_PROCESS_ID", "0")))
         if num > 1:
             jax.distributed.initialize(
                 coordinator_address=coordinator_address,

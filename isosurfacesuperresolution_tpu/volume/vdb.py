@@ -18,6 +18,7 @@ converted `BrickGrid`, so the renderer/training stack is format-agnostic.
 
 from __future__ import annotations
 
+import subprocess
 from typing import Optional, Tuple
 
 import numpy as np
@@ -63,7 +64,10 @@ def load_vdb(path: str, grid_name: Optional[str] = None,
     """
     try:
         return _load_vdb_native(path, grid_name, brick_size, max_resolution)
-    except OSError as native_err:
+    # OSError: decode failure; CalledProcessError/FileNotFoundError: the
+    # lazy native BUILD failed (no compiler, missing headers) - both must
+    # engage the bindings fallback, not crash with a compiler traceback
+    except (OSError, subprocess.CalledProcessError) as native_err:
         try:
             vdb = _import_openvdb()
         except ImportError:
