@@ -27,14 +27,25 @@ from isosurfacesuperresolution_tpu.config import Config, flatten_config
 
 def next_run_dir(base: str, prefix: str = "run") -> str:
     """Allocate the next ``runNNNNN`` directory (parity:
-    `mainVideoUnshaded.py:181-195`)."""
+    `mainVideoUnshaded.py:181-195`).
+
+    Numbers already used by the durable snapshot directory (``artifacts/``
+    next to ``base``) are skipped too: the ephemeral ``runs/`` dir is
+    wiped when the host VM is recycled, and restarting at run00001 would
+    make the artifact watcher overwrite historical committed checkpoints
+    of the same name."""
     os.makedirs(base, exist_ok=True)
     pattern = re.compile(rf"^{prefix}(\d{{5}})$")
     next_num = 1
-    for name in os.listdir(base):
-        m = pattern.match(name)
-        if m:
-            next_num = max(next_num, int(m.group(1)) + 1)
+    artifacts = os.path.join(os.path.dirname(os.path.abspath(base)),
+                             "artifacts")
+    for d in (base, artifacts):
+        if not os.path.isdir(d):
+            continue
+        for name in os.listdir(d):
+            m = pattern.match(name)
+            if m:
+                next_num = max(next_num, int(m.group(1)) + 1)
     run_dir = os.path.join(base, f"{prefix}{next_num:05d}")
     os.makedirs(run_dir)
     return run_dir

@@ -10,11 +10,29 @@
 # concurrently working session never gets its staged files swept in.
 cd "$(dirname "$0")/.."
 mkdir -p artifacts
+
+# Run-name remapping for THIS VM generation: the recycle emptied runs/,
+# so the trainer restarts numbering at run00001 while artifacts/ already
+# holds historical checkpoints under those names (run00001 = stage-1
+# mix2 net, run00002 = 512^3 demo, run00003 = adversarial stage-2 —
+# all cited by README tables).  Snapshot the new generation's runs under
+# fresh names instead of clobbering.  (The trainer now also skips
+# artifact names when allocating run dirs, so this table is only needed
+# for runs already in flight when that fix landed.)
+map_name() {
+  case "$1" in
+    run00001) echo run00007 ;;   # v17 s1 close-camera retrain
+    run00002) echo run00008 ;;   # v17 s3 cache-regen throwaway
+    run00003) echo run00009 ;;   # v17 s9 adversarial fine-tune
+    *) echo "$1" ;;
+  esac
+}
+
 while true; do
   changed=0
   for d in runs/run00*; do
     [ -d "$d" ] || continue
-    name=$(basename "$d")
+    name=$(map_name "$(basename "$d")")
     mkdir -p "artifacts/$name"
     for f in params.npz config.json info.txt; do
       if [ -f "$d/$f" ] && ! cmp -s "$d/$f" "artifacts/$name/$f"; then
