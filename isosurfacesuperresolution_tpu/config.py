@@ -188,6 +188,7 @@ class ModelConfig:
 VALID_LOSS_NAMES = (
     "mse", "l2", "l2_loss", "l1", "l1_loss", "tl2", "temp-l2",
     "l2-ds", "l1-ds", "perceptual", "texture", "adv", "gan", "tgan", "sgan",
+    "gdl",   # gradient-difference loss (rebuild addition, builder.py)
 )
 VALID_LOSS_TARGETS = ("mask", "normal", "color", "ao", "depth", "all")
 

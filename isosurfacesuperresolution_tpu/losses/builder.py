@@ -27,6 +27,28 @@ def l1(gt: jnp.ndarray, pred: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean(jnp.abs(gt - pred))
 
 
+def gradient_difference(gt: jnp.ndarray, pred: jnp.ndarray) -> jnp.ndarray:
+    """Gradient-difference loss (GDL): L1 between the absolute finite-
+    difference image gradients of gt and pred, over both axes.
+
+    Zero for any constant offset, and - unlike plain L1 - it charges
+    *hallucinated* high-frequency detail on regions where the target is
+    smooth, which is exactly the failure mode of SR normals on large
+    near-planar surfaces (the RM-analogue `interface` family; README
+    "Training status").  Not in the reference's loss zoo
+    (`losses/lossbuilder.py`) - a TPU-rebuild addition; both input orders
+    are NHWC.
+    """
+    def dx(t):
+        return t[:, :, 1:, :] - t[:, :, :-1, :]
+
+    def dy(t):
+        return t[:, 1:, :, :] - t[:, :-1, :, :]
+
+    return (jnp.mean(jnp.abs(jnp.abs(dx(gt)) - jnp.abs(dx(pred))))
+            + jnp.mean(jnp.abs(jnp.abs(dy(gt)) - jnp.abs(dy(pred)))))
+
+
 def temporal_l2_masked(pred_with_mask: jnp.ndarray,
                        prev_warped_with_mask: jnp.ndarray,
                        threshold: float = 0.5) -> jnp.ndarray:

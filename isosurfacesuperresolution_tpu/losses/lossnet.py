@@ -71,7 +71,8 @@ class LossNet:
                 self.weights["l1"] = w
             elif name in ("tl2", "temp-l2"):
                 self.weights["temp-l2"] = w
-            elif name in ("inverse_mse", "fft_mse", "perceptual", "texture"):
+            elif name in ("inverse_mse", "fft_mse", "perceptual", "texture",
+                          "gdl"):
                 self.weights[name] = w
             elif name in self.GAN_NAMES:
                 self.weights["adv"] = w
@@ -136,7 +137,8 @@ class LossNet:
         values: Dict[str, jnp.ndarray] = {}
 
         simple = {"mse": builder.mse, "l1": builder.l1,
-                  "fft_mse": builder.fft_mse}
+                  "fft_mse": builder.fft_mse,
+                  "gdl": builder.gradient_difference}
         for name, fn in simple.items():
             if name in w:
                 loss = fn(gt, pred)

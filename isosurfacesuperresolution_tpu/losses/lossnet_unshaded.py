@@ -180,7 +180,8 @@ class LossNetUnshaded:
             "depth": (gt_depth * gt_mask_clamp, pred_depth * gt_mask_clamp),
             "color": (gt_color, pred_color),
         }
-        for name, fn in (("mse", builder.mse), ("l1", builder.l1)):
+        for name, fn in (("mse", builder.mse), ("l1", builder.l1),
+                         ("gdl", builder.gradient_difference)):
             for target, (a, b) in pairs.items():
                 if (name, target) in w and w[(name, target)] != 0.0:
                     loss = fn(a, b)

@@ -107,6 +107,41 @@ def test_downsample_loss_zero_for_consistent_pair():
     assert float(loss) < 1e-10
 
 
+def test_gradient_difference_loss():
+    rng = np.random.RandomState(3)
+    flat = jnp.zeros((1, 16, 16, 1))
+    # invariant to constant offsets (unlike l1)
+    assert float(builder.gradient_difference(flat, flat + 0.7)) < 1e-7
+    # charges hallucinated detail on a smooth target
+    noisy = jnp.asarray(rng.randn(1, 16, 16, 1).astype(np.float32))
+    assert float(builder.gradient_difference(flat, noisy)) > 0.1
+    # symmetric in magnitude: missing detail costs the same as adding it
+    a = float(builder.gradient_difference(flat, noisy))
+    b = float(builder.gradient_difference(noisy, flat))
+    np.testing.assert_allclose(a, b, rtol=1e-6)
+    # matching gradients of opposite sign are NOT charged (|grad| compare)
+    ramp = jnp.cumsum(jnp.ones((1, 16, 16, 1)), axis=2)
+    assert float(builder.gradient_difference(ramp, -ramp)) < 1e-6
+
+
+def test_gdl_in_unshaded_dsl():
+    from isosurfacesuperresolution_tpu.config import parse_loss_dsl
+    w = parse_loss_dsl("l1:mask:1,gdl:normal:3")
+    assert w[("gdl", "normal")] == 3.0
+    cfg = LossConfig(losses="l1:mask:1,gdl:normal:3,gdl:ao:1", padding=0)
+    net = LossNetUnshaded(cfg, high_res=32)
+    params = net.init(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(6)
+    gt, pred, inp, prev_in, prev_pred = _fake_batch(rng, res=32)
+    loss, values = net(params, gt, pred, inp, prev_in, prev_pred)
+    assert "gdl:normal" in values and "gdl:ao" in values
+    assert np.isfinite(float(loss))
+    # gradient flows through the gdl terms
+    g = jax.grad(lambda p: net(params, gt, p, inp, prev_in, prev_pred)[0])(
+        pred)
+    assert float(jnp.abs(np.asarray(g)[..., 5]).max()) > 0   # ao channel
+
+
 # ---------------------------------------------------------------------------
 # Discriminators
 # ---------------------------------------------------------------------------
