@@ -38,6 +38,9 @@ def main() -> None:
                          "(ModelConfig.planar_int8)")
     ap.add_argument("--no-ao", action="store_true",
                     help="skip the AO-enabled variant (faster A/B runs)")
+    ap.add_argument("--no-preempt", action="store_true",
+                    help="do not kill background tpu_queue drivers that "
+                         "hold the single-client TPU tunnel")
     args = ap.parse_args()
 
     import jax
@@ -52,11 +55,79 @@ def main() -> None:
     from isosurfacesuperresolution_tpu.render.camera import CameraParams
     from isosurfacesuperresolution_tpu.volume import analytic
 
+    # The TPU tunnel is single-client (a second jax client hangs until the
+    # first exits - measured 2026-08-20).  Long-running background work
+    # queues (scripts/tpu_queue*.sh) may be holding it when the bench is
+    # invoked; their driver PIDs are recorded in /tmp/queue*.pid.  The
+    # headline metric outranks an in-flight training stage (checkpoints are
+    # written every --checkpointEvery epochs and snapshotted to artifacts/,
+    # so at most a few minutes of training are lost), so by default the
+    # bench TERMs those exact PID trees before grabbing the device.
+    # Set ISOSR_BENCH_NO_PREEMPT=1 (or pass --no-preempt) to opt out for
+    # manual A/B runs alongside a queue you want to keep.
+    import os
+
+    def _descendants(pid: int) -> list:
+        out = []
+        try:
+            import glob as _glob
+            for f in _glob.glob(f"/proc/{pid}/task/*/children"):
+                with open(f) as fh:
+                    for child in fh.read().split():
+                        c = int(child)
+                        out.extend(_descendants(c))
+                        out.append(c)
+        except OSError:
+            pass
+        return out
+
+    def _preempt_queues() -> None:
+        import glob as _glob
+        import signal
+        victims = []
+        for pidfile in sorted(_glob.glob("/tmp/queue*.pid")):
+            try:
+                pid = int(open(pidfile).read().strip())
+                with open(f"/proc/{pid}/cmdline", "rb") as fh:
+                    cmd = fh.read().decode("utf-8", "replace")
+            except (OSError, ValueError):
+                continue
+            if "tpu_queue" not in cmd:
+                continue  # stale pid file, PID reused by something else
+            victims.append((pid, _descendants(pid)))
+        if not victims:
+            return
+        for pid, desc in victims:
+            print(f"bench: preempting queue driver {pid} "
+                  f"(+{len(desc)} children) for the TPU tunnel",
+                  file=sys.stderr)
+            for p in [pid] + desc:  # driver first: no new stages launch
+                try:
+                    os.kill(p, signal.SIGTERM)
+                except OSError:
+                    pass
+        deadline = time.time() + 30
+        live = [p for _, d in victims for p in d] + [v[0] for v in victims]
+        while time.time() < deadline:
+            live = [p for p in live if os.path.exists(f"/proc/{p}")]
+            if not live:
+                break
+            time.sleep(1)
+        for p in live:
+            try:
+                os.kill(p, signal.SIGKILL)
+            except OSError:
+                pass
+        time.sleep(10)  # let the tunnel drop the old client
+
+    if not (os.environ.get("ISOSR_BENCH_NO_PREEMPT")
+            or "--no-preempt" in sys.argv):
+        _preempt_queues()
+
     # A dead TPU tunnel makes jax.devices() hang forever (observed in
     # round 2); fail fast with a clear message instead of hanging the
     # caller.  No JSON line is emitted on failure - a fake metric is
     # worse than no metric.
-    import os
     import threading
     devices_up = threading.Event()
 
