@@ -27,6 +27,72 @@ from functools import partial
 import numpy as np
 
 
+def descendants(pid: int) -> list:
+    """All live descendant PIDs of `pid`, leaves first, via /proc
+    children files (exact bookkeeping — never pattern-matches process
+    names, which could catch this session's own command line)."""
+    import glob
+    out = []
+    try:
+        for f in glob.glob(f"/proc/{pid}/task/*/children"):
+            with open(f) as fh:
+                for child in fh.read().split():
+                    c = int(child)
+                    out.extend(descendants(c))
+                    out.append(c)
+    except OSError:
+        pass
+    return out
+
+
+def preempt_queues(pid_glob: str = "/tmp/queue*.pid",
+                   grace_s: float = 30.0, settle_s: float = 10.0) -> int:
+    """TERM (then KILL) the tpu_queue driver trees recorded in
+    `pid_glob` so the single-client TPU tunnel frees up; returns the
+    number of queue drivers preempted.  PIDs are verified against
+    /proc/<pid>/cmdline before any signal (stale pid files after PID
+    reuse are skipped)."""
+    import glob
+    import os
+    import signal
+    victims = []
+    for pidfile in sorted(glob.glob(pid_glob)):
+        try:
+            pid = int(open(pidfile).read().strip())
+            with open(f"/proc/{pid}/cmdline", "rb") as fh:
+                cmd = fh.read().decode("utf-8", "replace")
+        except (OSError, ValueError):
+            continue
+        if "tpu_queue" not in cmd:
+            continue  # stale pid file, PID reused by something else
+        victims.append((pid, descendants(pid)))
+    if not victims:
+        return 0
+    for pid, desc in victims:
+        print(f"bench: preempting queue driver {pid} "
+              f"(+{len(desc)} children) for the TPU tunnel",
+              file=sys.stderr)
+        for p in [pid] + desc:  # driver first: no new stages launch
+            try:
+                os.kill(p, signal.SIGTERM)
+            except OSError:
+                pass
+    deadline = time.time() + grace_s
+    live = [p for _, d in victims for p in d] + [v[0] for v in victims]
+    while time.time() < deadline:
+        live = [p for p in live if os.path.exists(f"/proc/{p}")]
+        if not live:
+            break
+        time.sleep(1)
+    for p in live:
+        try:
+            os.kill(p, signal.SIGKILL)
+        except OSError:
+            pass
+    time.sleep(settle_s)  # let the tunnel drop the old client
+    return len(victims)
+
+
 def main() -> None:
     import argparse
     ap = argparse.ArgumentParser()
@@ -67,62 +133,8 @@ def main() -> None:
     # manual A/B runs alongside a queue you want to keep.
     import os
 
-    def _descendants(pid: int) -> list:
-        out = []
-        try:
-            import glob as _glob
-            for f in _glob.glob(f"/proc/{pid}/task/*/children"):
-                with open(f) as fh:
-                    for child in fh.read().split():
-                        c = int(child)
-                        out.extend(_descendants(c))
-                        out.append(c)
-        except OSError:
-            pass
-        return out
-
-    def _preempt_queues() -> None:
-        import glob as _glob
-        import signal
-        victims = []
-        for pidfile in sorted(_glob.glob("/tmp/queue*.pid")):
-            try:
-                pid = int(open(pidfile).read().strip())
-                with open(f"/proc/{pid}/cmdline", "rb") as fh:
-                    cmd = fh.read().decode("utf-8", "replace")
-            except (OSError, ValueError):
-                continue
-            if "tpu_queue" not in cmd:
-                continue  # stale pid file, PID reused by something else
-            victims.append((pid, _descendants(pid)))
-        if not victims:
-            return
-        for pid, desc in victims:
-            print(f"bench: preempting queue driver {pid} "
-                  f"(+{len(desc)} children) for the TPU tunnel",
-                  file=sys.stderr)
-            for p in [pid] + desc:  # driver first: no new stages launch
-                try:
-                    os.kill(p, signal.SIGTERM)
-                except OSError:
-                    pass
-        deadline = time.time() + 30
-        live = [p for _, d in victims for p in d] + [v[0] for v in victims]
-        while time.time() < deadline:
-            live = [p for p in live if os.path.exists(f"/proc/{p}")]
-            if not live:
-                break
-            time.sleep(1)
-        for p in live:
-            try:
-                os.kill(p, signal.SIGKILL)
-            except OSError:
-                pass
-        time.sleep(10)  # let the tunnel drop the old client
-
-    if not (os.environ.get("ISOSR_BENCH_NO_PREEMPT")
-            or "--no-preempt" in sys.argv):
-        _preempt_queues()
+    if not (os.environ.get("ISOSR_BENCH_NO_PREEMPT") or args.no_preempt):
+        preempt_queues()
 
     # A dead TPU tunnel makes jax.devices() hang forever (observed in
     # round 2); fail fast with a clear message instead of hanging the
