@@ -46,12 +46,16 @@ def descendants(pid: int) -> list:
 
 
 def preempt_queues(pid_glob: str = "/tmp/queue*.pid",
-                   grace_s: float = 30.0, settle_s: float = 10.0) -> int:
-    """TERM (then KILL) the tpu_queue driver trees recorded in
-    `pid_glob` so the single-client TPU tunnel frees up; returns the
-    number of queue drivers preempted.  PIDs are verified against
+                   grace_s: float = 90.0, settle_s: float = 10.0) -> int:
+    """TERM (then KILL) the queue driver trees recorded in `pid_glob`
+    so the single-client TPU tunnel frees up; returns the number of
+    queue drivers preempted.  PIDs are verified against
     /proc/<pid>/cmdline before any signal (stale pid files after PID
-    reuse are skipped)."""
+    reuse are skipped).  Preemption is checkpoint-safe: the trainer
+    installs a SIGTERM handler that saves a full checkpoint at the
+    next batch boundary (main_video_unshaded.py), and the grace window
+    here is sized for that save (a batch is <1 s, the orbax + npz
+    write a few seconds)."""
     import glob
     import os
     import signal
@@ -63,7 +67,7 @@ def preempt_queues(pid_glob: str = "/tmp/queue*.pid",
                 cmd = fh.read().decode("utf-8", "replace")
         except (OSError, ValueError):
             continue
-        if "tpu_queue" not in cmd:
+        if "tpu_queue" not in cmd and "queue.sh" not in cmd:
             continue  # stale pid file, PID reused by something else
         victims.append((pid, descendants(pid)))
     if not victims:
@@ -77,8 +81,19 @@ def preempt_queues(pid_glob: str = "/tmp/queue*.pid",
                 os.kill(p, signal.SIGTERM)
             except OSError:
                 pass
+    # Re-walk descendants once after the TERMs: a child spawned between
+    # the snapshot and the driver's TERM would otherwise be orphaned
+    # alive and keep holding the TPU client (round-2 advisor finding).
+    live = []
+    for pid, desc in victims:
+        late = [p for p in descendants(pid) if p not in desc]
+        for p in late:
+            try:
+                os.kill(p, signal.SIGTERM)
+            except OSError:
+                pass
+        live.extend([pid] + desc + late)
     deadline = time.time() + grace_s
-    live = [p for _, d in victims for p in d] + [v[0] for v in victims]
     while time.time() < deadline:
         live = [p for p in live if os.path.exists(f"/proc/{p}")]
         if not live:

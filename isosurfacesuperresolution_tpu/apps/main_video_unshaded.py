@@ -216,15 +216,16 @@ def load_sequences(args, cfg):
                   "interface": analytic.interface_volume,
                   "skull": analytic.skull_volume,
                   "thorax": analytic.thorax_volume}
-        if name not in makers and name not in ("mix", "mix2", "mix3"):
+        mixes = ("mix", "mix2", "mix3", "mix4")
+        if name not in makers and name not in mixes:
             raise SystemExit(f"unknown analytic volume {name}")
-        if name in ("mix", "mix2", "mix3"):
+        if name in mixes:
             grids = [(analytic.blobs_volume(128, num_blobs=8), (0.5, 0.5)),
                      (analytic.torus_volume(128), (0.5, 0.5)),
                      (analytic.gyroid_volume(128), (0.45, 0.55)),
                      (analytic.blobs_volume(128, num_blobs=14, seed=7),
                       (0.4, 0.6))]
-            if name in ("mix2", "mix3"):
+            if name in ("mix2", "mix3", "mix4"):
                 # round-2 zoo: reference-dataset analogues (Clouds / Ejecta /
                 # RM, mainPSNR3_AllStats.py:29-40) at doubled resolution for
                 # high-frequency training content
@@ -237,7 +238,7 @@ def load_sequences(args, cfg):
                                             num_particles=700), (0.3, 0.5)),
                     (analytic.interface_volume(256, seed=5), (0.45, 0.55)),
                 ]
-            if name == "mix3":
+            if name in ("mix3", "mix4"):
                 # mix2 + extra smooth-surface exposure: the band-limited
                 # families showed the speckle-trained net adds spurious
                 # normal detail on resolvable surfaces; weight the slab /
@@ -252,6 +253,25 @@ def load_sequences(args, cfg):
                      (0.45, 0.55)),
                     (analytic.turbulence_volume(256, seed=8, beta=4.0),
                      (0.45, 0.55)),
+                ]
+            if name == "mix4":
+                # round-3 zoo: the remaining two reference-eval analogues
+                # (Skull / Thorax, mainPSNR3_AllStats.py:29-40) join the
+                # training distribution - thin curved shells with
+                # silhouette holes and sub-pixel repeated ribs, both
+                # absent from mix3.  The makers are deterministic (no
+                # seed), so every zoo entry jitters structural
+                # parameters away from the defaults - the held-out stats
+                # volumes (default makers at 256) are never trained on.
+                grids += [
+                    (analytic.skull_volume(256, shell_thickness=0.018,
+                                           sharpness=9.0), (0.48, 0.52)),
+                    (analytic.skull_volume(192, shell_thickness=0.03,
+                                           sharpness=12.0), (0.48, 0.52)),
+                    (analytic.thorax_volume(256, num_ribs=8,
+                                            sharpness=10.0), (0.48, 0.52)),
+                    (analytic.thorax_volume(192, num_ribs=6,
+                                            sharpness=14.0), (0.48, 0.52)),
                 ]
             seq_cfg = SequenceConfig(
                 num_frames=args.numFrames,
@@ -515,6 +535,21 @@ def main(argv=None) -> None:
         print(f"pretrained discriminator from {args.pretrainedDiscr} "
               f"(epoch {depoch})")
 
+    # Checkpoint-then-exit on SIGTERM: the benchmark preempts queue
+    # drivers (bench.py preempt_queues) and the host VM can be recycled;
+    # both deliver SIGTERM.  The handler only sets a flag - the batch
+    # loop breaks at the next step boundary (<1 s), saves a full orbax
+    # checkpoint + params.npz, and exits cleanly, so preemption never
+    # loses more than the current batch.
+    import signal
+    _stop = {"sig": None}
+
+    def _on_term(signum, frame):
+        _stop["sig"] = signum
+        print(f"signal {signum} received: checkpointing at the next "
+              f"batch boundary, then exiting", flush=True)
+    prev_term = signal.signal(signal.SIGTERM, _on_term)
+
     recent_losses: List[float] = []   # spike-guard window
     for epoch in range(start_epoch, t.epochs + 1):
         lr = epoch_learning_rate(cfg, epoch - 1)
@@ -530,6 +565,8 @@ def main(argv=None) -> None:
         else:
             batch_iter = train_set.batches(t.batch_size, rng=rng)
         for low, flow, high in batch_iter:
+            if _stop["sig"] is not None:
+                break
             if t.adv_training:
                 for _ in range(t.discr_steps):
                     state, d_loss, gt_s, pred_s = d_step(
@@ -562,6 +599,14 @@ def main(argv=None) -> None:
                     recent_losses.pop(0)
             epoch_loss += float(loss)
             n_batches += 1
+        if _stop["sig"] is not None:
+            ckpt.save(epoch, state)
+            save_params_npz(os.path.join(run_dir, "params.npz"),
+                            jax.device_get(state.params))
+            print(f"preempted at epoch {epoch} ({n_batches} batches): "
+                  f"checkpoint + params.npz saved to {run_dir}",
+                  flush=True)
+            break
         epoch_loss /= max(n_batches, 1) * t.num_frames
         writer.add_scalar("train/total_loss", epoch_loss, epoch)
         writer.add_scalar("train/lr", lr, epoch)

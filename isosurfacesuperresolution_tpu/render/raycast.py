@@ -21,8 +21,9 @@ Design differences from the reference (capabilities identical):
   refines hits with the same binary search (10 steps to the closest sample
   *outside* the isosurface, `render_kernel.cu:176-187`).
 
-Everything here is pure jnp and jit-friendly; the Pallas kernel in
-`raycast_pallas.py` accelerates the same computation per image tile.
+Everything here is pure jnp and jit-friendly; the fast path lives in the
+shear-warp sweep renderers (`sweep.py`, `sweep_pallas.py`,
+`sweep_pallas_tiled.py`), which this marcher serves as the parity oracle.
 """
 
 from __future__ import annotations
