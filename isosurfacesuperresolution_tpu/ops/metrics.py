@@ -87,9 +87,18 @@ def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,
     mu1_sq = mu1 ** 2
     mu2_sq = mu2 ** 2
     mu1_mu2 = mu1 * mu2
-    sigma1_sq = _depthwise_window_filter(img1 * img1, window) - mu1_sq
-    sigma2_sq = _depthwise_window_filter(img2 * img2, window) - mu2_sq
+    # filter(x^2) - mu^2 can go slightly NEGATIVE in float32 on
+    # near-constant windows (catastrophic cancellation); that made
+    # v2 < v1 possible and pushed SSIM above 1.0 on depth images in the
+    # round-2 stats tables.  True variances are >= 0, so clamp; sigma12
+    # is a covariance and is additionally bounded by Cauchy-Schwarz.
+    sigma1_sq = jnp.maximum(
+        _depthwise_window_filter(img1 * img1, window) - mu1_sq, 0.0)
+    sigma2_sq = jnp.maximum(
+        _depthwise_window_filter(img2 * img2, window) - mu2_sq, 0.0)
     sigma12 = _depthwise_window_filter(img1 * img2, window) - mu1_mu2
+    sigma12 = jnp.clip(sigma12, -jnp.sqrt(sigma1_sq * sigma2_sq),
+                       jnp.sqrt(sigma1_sq * sigma2_sq))
 
     c1 = (0.01 * L) ** 2
     c2 = (0.03 * L) ** 2

@@ -192,3 +192,24 @@ def test_inpaint_flow_fills_band():
     np.testing.assert_allclose(out[0, 4, 8, 1], -0.2, atol=1e-5)
     # far corner (outside the diffusion band) stays zero
     np.testing.assert_allclose(out[0, 0, 0], 0.0)
+
+
+def test_ssim_bounded_on_near_constant_images():
+    """Round-2 stats tables reported SSIM-depth up to 1.006: on
+    near-constant depth images, filter(x^2) - mu^2 goes slightly
+    negative in f32 (variance cancellation), which let the SSIM
+    numerator exceed the denominator.  With sigma^2 clamped >= 0 and
+    sigma12 Cauchy-Schwarz-bounded, SSIM <= 1 everywhere."""
+    # near-constant pair with tiny independent jitter (the depth-image
+    # regime of the paper-stats harness)
+    rng = np.random.RandomState(11)
+    base = np.full((1, 64, 64, 1), 0.73, np.float32)
+    a = jnp.asarray(base + 1e-6 * rng.randn(1, 64, 64, 1).astype(np.float32))
+    b = jnp.asarray(base + 1e-6 * rng.randn(1, 64, 64, 1).astype(np.float32))
+    s = float(ssim(a, b, val_range=1.0))
+    assert 0.0 <= s <= 1.0
+    m = float(msssim(a, b, val_range=1.0))
+    assert 0.0 <= m <= 1.0
+    # exactly-constant pair: SSIM must be exactly 1, not >1
+    c = jnp.full((1, 64, 64, 1), 0.5)
+    assert abs(float(ssim(c, c, val_range=1.0)) - 1.0) < 1e-6
