@@ -64,10 +64,17 @@ struct Reader {
     }
 
     void need(size_t n) const {
-        if (pos + n > data.size())
+        // overflow-safe: pos may have been seeked from an (untrusted)
+        // file offset, and pos + n could wrap
+        if (pos > data.size() || n > data.size() - pos)
             throw std::runtime_error("unexpected end of file");
     }
     void skip(size_t n) { need(n); pos += n; }
+    void seek_to(int64_t p) {              // file-provided offsets
+        if (p < 0 || static_cast<size_t>(p) > data.size())
+            throw std::runtime_error("corrupt stream offset");
+        pos = static_cast<size_t>(p);
+    }
     const uint8_t* take(size_t n) { need(n); const uint8_t* p = data.data() + pos; pos += n; return p; }
 
     template <typename T> T get() {
@@ -153,6 +160,8 @@ void read_values(Reader& r, uint32_t compression, bool from_half,
     }
     if (compression & kCompressZip) {
         int64_t nbytes = r.i64();
+        if (nbytes == INT64_MIN)
+            throw std::runtime_error("corrupt zip chunk size");
         if (nbytes <= 0) {
             src = r.take(static_cast<size_t>(-nbytes));
             if (static_cast<size_t>(-nbytes) != count * elem)
@@ -188,10 +197,19 @@ void read_compressed_values(Reader& r, uint32_t compression, bool from_half,
     int8_t meta = kNoMaskAndAllVals;
     float inactive0 = background, inactive1 = background;
     std::vector<uint64_t> selection;
-    bool mask_compressed = (compression & kCompressActiveMask) &&
-                           file_version >= kVerNodeMaskCompression;
-    if (mask_compressed) {
+    // The int8 metadata code is present for EVERY file version >= 222
+    // stream, not only when COMPRESS_ACTIVE_MASK is set:
+    // writeCompressedValues emits code 6 (NO_MASK_AND_ALL_VALS) even
+    // with mask compression off (`if (!maskCompress) os.write(&metadata,
+    // 1)`, io/Compression.h), and readCompressedValues consumes the
+    // byte unconditionally at >= 222.
+    bool have_meta = file_version >= kVerNodeMaskCompression;
+    bool mask_compressed = (compression & kCompressActiveMask) && have_meta;
+    if (have_meta) {
         meta = static_cast<int8_t>(r.u8());
+        if (meta < kNoMaskOrInactiveVals || meta > kNoMaskAndAllVals)
+            throw std::runtime_error(
+                "corrupt node-value metadata code " + std::to_string(meta));
         // explicit inactive values are stored as full ValueType (never
         // half-converted; only the bulk buffer is)
         if (meta == kNoMaskAndOneInactiveVal ||
@@ -294,10 +312,26 @@ void read_internal_topology(Reader& r, const Context& ctx, Coord origin,
     constexpr size_t kNum = size_t(1) << (3 * Log2);
     std::vector<uint64_t> child_mask = read_mask(r, kNum);
     std::vector<uint64_t> value_mask = read_mask(r, kNum);
-    std::vector<float> tile_values(kNum);
-    read_compressed_values(r, ctx.compression, ctx.half, ctx.file_version,
-                           ctx.background, value_mask, kNum,
-                           tile_values.data());
+    std::vector<float> tile_values(kNum, ctx.background);
+    if (ctx.file_version < kVerNodeMaskCompression) {
+        // 220/221 internal nodes store only the childMask.countOff()
+        // tile values, scattered to the child-off slots in offset order
+        // (InternalNode::readTopology's oldVersion branch).
+        size_t n_off = kNum;
+        for (uint64_t w : child_mask)
+            n_off -= static_cast<size_t>(__builtin_popcountll(w));
+        std::vector<float> packed(n_off);
+        read_compressed_values(r, ctx.compression, ctx.half,
+                               ctx.file_version, ctx.background,
+                               value_mask, n_off, packed.data());
+        size_t n = 0;
+        for (size_t i = 0; i < kNum; ++i)
+            if (!mask_bit(child_mask, i)) tile_values[i] = packed[n++];
+    } else {
+        read_compressed_values(r, ctx.compression, ctx.half,
+                               ctx.file_version, ctx.background, value_mask,
+                               kNum, tile_values.data());
+    }
     // active tiles (value-mask bits that are not children)
     for (size_t i = 0; i < kNum; ++i) {
         if (mask_bit(value_mask, i) && !mask_bit(child_mask, i)) {
@@ -351,6 +385,18 @@ Tree read_tree(Reader& r, const Context& ctx_in) {
 
 void read_leaf_buffers(Reader& r, const Context& ctx, Tree& tree) {
     for (LeafNode& leaf : tree.leaves) {
+        // LeafNode::readBuffers re-loads the value mask from the buffer
+        // section (writeBuffers serializes it again ahead of the
+        // values); the re-read copy is authoritative for the payload.
+        leaf.value_mask = read_mask(r, 512);
+        if (ctx.file_version < kVerNodeMaskCompression) {
+            // pre-222 leaf buffers carry the origin and a buffer count
+            r.skip(12);                    // Coord mOrigin
+            uint8_t num_buffers = r.u8();
+            if (num_buffers != 1)
+                throw std::runtime_error("multi-buffer leaves (pre-222 "
+                                         "numBuffers != 1) not supported");
+        }
         leaf.values.resize(512);
         read_compressed_values(r, ctx.compression, ctx.half,
                                ctx.file_version, ctx.background,
@@ -414,7 +460,7 @@ FileInfo read_file_header(Reader& r) {
         g.block_pos = r.i64();
         g.end_pos = r.i64();
         info.grids.push_back(g);
-        r.pos = static_cast<size_t>(g.end_pos);  // next descriptor
+        r.seek_to(g.end_pos);                  // next descriptor
     }
     return info;
 }
@@ -507,7 +553,7 @@ LoadedGrid load_grid(Reader& r, const FileInfo& info, const GridEntry& g,
     if (g.type != "Tree_float_5_4_3")
         throw std::runtime_error("unsupported grid type: " + g.type +
                                  " (only Tree_float_5_4_3)");
-    r.pos = static_cast<size_t>(g.grid_pos);
+    r.seek_to(g.grid_pos);
     Context ctx;
     ctx.file_version = info.file_version;
     ctx.compression = info.compression;
@@ -519,7 +565,7 @@ LoadedGrid load_grid(Reader& r, const FileInfo& info, const GridEntry& g,
     read_transform(r, out.voxel_size);
     out.tree = read_tree(r, ctx);
     if (load_values) {
-        r.pos = static_cast<size_t>(g.block_pos);
+        r.seek_to(g.block_pos);
         ctx.background = out.tree.background;
         read_leaf_buffers(r, ctx, out.tree);
     }

@@ -66,6 +66,12 @@ def load(path: str, grid_name: str = ""
     bbox, vox = probe(path, grid_name)
     shape = (bbox[3] - bbox[0] + 1, bbox[4] - bbox[1] + 1,
              bbox[5] - bbox[2] + 1)
+    # Guard against corrupt files whose (untrusted) node coordinates
+    # imply an absurd active bbox: densifying is quadratic in trouble
+    # (allocation + background fill), so refuse anything past 2048^3.
+    if shape[0] * shape[1] * shape[2] > (1 << 33):
+        raise OSError(f"{path}: active bbox {shape} too large to "
+                      f"densify (corrupt coordinates?)")
     out = np.empty(shape, np.float32)
     err = ctypes.create_string_buffer(_ERRLEN)
     rc = _lib.vdb_load(path.encode(), grid_name.encode(),

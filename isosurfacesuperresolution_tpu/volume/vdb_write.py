@@ -74,13 +74,22 @@ def _values_payload(vals: np.ndarray, half: bool) -> bytes:
 
 def _write_compressed(parts, vals: np.ndarray, active: np.ndarray,
                       compression: int, half: bool) -> None:
-    """io::writeCompressedValues: vals/active are flat C-order blocks."""
+    """io::writeCompressedValues: vals/active are flat C-order blocks.
+
+    The int8 metadata code is written UNCONDITIONALLY: OpenVDB's
+    writeCompressedValues emits it for every stream at file version
+    >= 222 - `if (!maskCompress) os.write(&metadata, 1)` with code 6
+    (NO_MASK_AND_ALL_VALS) - not only when active-mask compression is
+    on.  (An earlier revision here gated the byte on ACTIVE_MASK, and
+    the decoder mirrored the misreading, so round-trip tests passed
+    while "none"-compressed real OpenVDB files would have desynced.)"""
     if compression & _COMPRESS_ACTIVE_MASK:
         # our inactive values are always +background -> code 0 stores the
         # active values only (NO_MASK_AND_ALL_VALS covers the rest)
         parts.append(struct.pack("<b", _NO_MASK_OR_INACTIVE_VALS))
         stored = vals.reshape(-1)[active.reshape(-1)]
     else:
+        parts.append(struct.pack("<b", _NO_MASK_AND_ALL_VALS))
         stored = vals.reshape(-1)
     payload = _values_payload(stored, half)
     if compression & _COMPRESS_ZIP:
@@ -191,6 +200,10 @@ def write_vdb(path: str, values: np.ndarray, grid_name: str = "density",
 
     buffers = []
     for (i, j, k) in leaf_order:
+        # LeafNode::writeBuffers re-serializes the value mask ahead of
+        # the compressed values (readBuffers re-loads mValueMask from
+        # it); a leaf buffer section is mask + metadata code + payload.
+        buffers.append(_pack_mask(ablocks[i, j, k].reshape(-1)))
         _write_compressed(buffers, blocks[i, j, k].reshape(-1),
                           ablocks[i, j, k].reshape(-1), comp_flags, half)
     buffers = b"".join(buffers)
