@@ -45,7 +45,12 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
     """
     coordinator_address = (coordinator_address
                            or os.environ.get("JAX_COORDINATOR_ADDRESS"))
-    if coordinator_address and jax.process_count() == 1:
+    # `jax.distributed.is_initialized()`, NOT `jax.process_count()`, as
+    # the already-initialized guard: process_count() initializes the XLA
+    # backend, after which jax.distributed.initialize() hard-errors -
+    # the guard itself would have made multi-process init impossible
+    # (caught by the real 2-process test, test_multiprocess_distributed).
+    if coordinator_address and not jax.distributed.is_initialized():
         # `is not None`, not truthiness: process_id=0 (the coordinator
         # host itself) is falsy and must not be overridden by a stale
         # JAX_PROCESS_ID in the environment
@@ -80,11 +85,19 @@ def make_hybrid_mesh(num_dcn: Optional[int] = None,
         raise ValueError(f"{len(devices)} devices do not split into "
                          f"{num_dcn} DCN groups")
     per = len(devices) // num_dcn
-    if jax.process_count() > 1:
+    slice_ids = {getattr(d, "slice_index", None) for d in devices}
+    if (jax.process_count() > 1 and None not in slice_ids
+            and len(slice_ids) == num_dcn):
         from jax.experimental import mesh_utils
         dev_grid = mesh_utils.create_hybrid_device_mesh(
             mesh_shape=(1, per), dcn_mesh_shape=(num_dcn, 1),
             devices=devices)
+    elif jax.process_count() > 1:
+        # No usable slice topology (multi-process CPU reports one slice;
+        # some backends report none): group by process so the outer axis
+        # still follows the host/DCN boundary.
+        devices = sorted(devices, key=lambda d: (d.process_index, d.id))
+        dev_grid = np.asarray(devices).reshape(num_dcn, per)
     else:
         dev_grid = np.asarray(devices).reshape(num_dcn, per)
     return Mesh(dev_grid, axis_names)
