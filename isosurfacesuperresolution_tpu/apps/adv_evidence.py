@@ -1,0 +1,203 @@
+"""What the adversarial stage buys: texture/sharpness evidence + panels.
+
+The reference motivates `trainAdv_v2` (`mainVideoUnshaded.py:475-636`,
+the paper's gen_l2 vs gen_gan split) with perceptual quality, while PSNR
+alone always favors the L2-trained net.  This harness measures the
+perceptual side on held-out crops:
+
+- PSNR of the shaded color (the known cost),
+- gradient-magnitude retention |grad pred| / |grad GT| (1.0 = GT-sharp;
+  interpolation and pure-L2 nets sit below 1 - smoothing - and a GAN
+  that hallucinates sits above),
+- gradient-magnitude histogram distance to GT (log-space L1),
+- gram-matrix texture distance to GT on 16x16 patches, in pixel space
+  (deterministic) and on VGG features (`losses/vgg.py`; with no
+  pretrained weights in this environment the documented random-feature
+  fallback still ranks texture distances - random projections preserve
+  gram distances in expectation),
+
+and writes side-by-side shaded-color panels (GT | each model) of the
+highest-gradient-energy crops, the `mainImageVis.py`-style figure.
+
+Usage:
+  python -m isosurfacesuperresolution_tpu.apps.adv_evidence \
+      --dataset /tmp/clips --models bilinear runs/run00005 runs/run00003 \
+      --output artifacts/quality/adv_evidence
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser()
+    p.add_argument("--dataset", type=str, required=True,
+                   help="npy clip dir (a --cacheDataset directory)")
+    p.add_argument("--models", nargs="+", required=True,
+                   help="run dirs and/or nearest|bilinear|bicubic")
+    p.add_argument("--cropSize", type=int, default=32)
+    p.add_argument("--samples", type=int, default=400)
+    p.add_argument("--testFraction", type=float, default=0.2)
+    p.add_argument("--numPanels", type=int, default=6)
+    p.add_argument("--output", type=str, default="adv_evidence")
+    p.add_argument("--seed", type=int, default=42)
+    return p
+
+
+def _grad_mag(img):
+    """Mean finite-difference gradient magnitude of (B, H, W, C)."""
+    import jax.numpy as jnp
+    dx = img[:, :, 1:] - img[:, :, :-1]
+    dy = img[:, 1:] - img[:, :-1]
+    return (jnp.mean(jnp.abs(dx), axis=(1, 2, 3))
+            + jnp.mean(jnp.abs(dy), axis=(1, 2, 3)))
+
+
+def _grad_hist(img_np, bins):
+    """Log-space gradient-magnitude histogram over all crops (host)."""
+    dx = np.abs(img_np[:, :, 1:] - img_np[:, :, :-1]).ravel()
+    dy = np.abs(img_np[:, 1:] - img_np[:, :-1]).ravel()
+    g = np.concatenate([dx, dy])
+    h, _ = np.histogram(np.log10(g + 1e-4), bins=bins, density=True)
+    return h
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from isosurfacesuperresolution_tpu.config import ShadingConfig
+    from isosurfacesuperresolution_tpu.data.dataset import (
+        DatasetFromSamples, VideoDataset, load_reference_npy_dir)
+    from isosurfacesuperresolution_tpu.infer.loadedmodel import LoadedModel
+    from isosurfacesuperresolution_tpu.losses.builder import texture_loss
+    from isosurfacesuperresolution_tpu.losses.vgg import (
+        VGG19Features, load_vgg19_params)
+    from isosurfacesuperresolution_tpu.ops.metrics import psnr
+    from isosurfacesuperresolution_tpu.ops.resize import resize
+    from isosurfacesuperresolution_tpu.render.shading import (
+        screen_space_shading)
+    from isosurfacesuperresolution_tpu.train.trainer import clamp_output
+
+    os.makedirs(args.output, exist_ok=True)
+
+    sequences = load_reference_npy_dir(args.dataset)
+    ds = VideoDataset(sequences)
+    rng = np.random.RandomState(args.seed)
+    samples = ds.collect_samples(args.samples, args.cropSize, 0.5, rng)
+    test = DatasetFromSamples(ds, samples, args.cropSize, test=True,
+                              test_fraction=args.testFraction)
+    print(f"test crops: {len(test)}")
+
+    lows, flows, highs = zip(*[test[i] for i in range(len(test))])
+    low_all = jnp.asarray(np.stack(lows))
+    flow_all = jnp.asarray(np.stack(flows))
+    high_all = jnp.asarray(np.stack(highs))
+    N, T = low_all.shape[0], low_all.shape[1]
+
+    shading_cfg = ShadingConfig()
+    B = 16                     # loss border (lossnet_unshaded pad)
+
+    vgg = VGG19Features(max_conv=8)
+    vgg_params, vgg_pretrained = load_vgg19_params(max_conv=8)
+    if not vgg_pretrained:
+        print("note: tex-vgg uses the documented random-feature VGG "
+              "fallback (no pretrained weights in this environment); "
+              "random projections still rank gram distances")
+
+    def shade(g):
+        return screen_space_shading(g, shading_cfg)
+
+    # GT shaded color of the LAST frame of each clip (recurrence settled)
+    gt_shaded = shade(high_all[:, -1])[:, B:-B, B:-B]
+    gt_np = np.asarray(gt_shaded, np.float32)
+    hist_bins = np.linspace(-4.0, 0.5, 46)
+    gt_hist = _grad_hist(gt_np, hist_bins)
+    gt_grad = np.asarray(_grad_mag(gt_shaded))
+
+    # panel selection: highest-gradient-energy GT crops
+    order = np.argsort(-gt_grad)
+    panel_idx = order[:args.numPanels]
+    panels = {"GT": gt_np[panel_idx]}
+
+    header = (f"{'model':24s} {'psnr':>7s} {'grad-ratio':>10s} "
+              f"{'hist-L1':>8s} {'tex-pix':>9s} {'tex-vgg':>9s}")
+    print(header)
+    rows = []
+    for spec in args.models:
+        loaded = (None if spec in ("nearest", "bilinear", "bicubic")
+                  else LoadedModel.from_run_dir(spec))
+        prev = None
+        pred = None
+        for t in range(T):
+            lo = low_all[:, t]
+            if loaded is None:
+                up = resize(lo, scale=4.0, method=spec)
+                pred = jnp.concatenate([up, jnp.ones_like(up[..., :1])],
+                                       -1)
+            else:
+                pred = clamp_output(
+                    loaded.inference(lo, prev, flow_all[:, t]))
+                prev = pred
+        pr_shaded = shade(pred)[:, B:-B, B:-B]
+        pr_np = np.asarray(pr_shaded, np.float32)
+
+        m_psnr = float(jnp.mean(psnr(pr_shaded, gt_shaded)))
+        m_ratio = float(np.mean(np.asarray(_grad_mag(pr_shaded))
+                                / np.maximum(gt_grad, 1e-6)))
+        m_hist = float(np.abs(_grad_hist(pr_np, hist_bins)
+                              - gt_hist).mean())
+        m_texp = float(texture_loss(gt_shaded, pr_shaded))
+        fg = vgg.apply(vgg_params, jnp.concatenate([gt_shaded,
+                                                    pr_shaded], 0))
+        key = sorted(fg.keys())[len(fg) // 2]   # a mid-depth layer
+        n = gt_shaded.shape[0]
+        m_texv = float(texture_loss(fg[key][:n], fg[key][n:]))
+
+        name = (spec if loaded is None
+                else os.path.basename(spec.rstrip("/")))
+        print(f"{name:24s} {m_psnr:7.2f} {m_ratio:10.3f} {m_hist:8.4f} "
+              f"{m_texp:9.2e} {m_texv:9.2e}", flush=True)
+        rows.append((name, m_psnr, m_ratio, m_hist, m_texp, m_texv))
+        panels[name] = pr_np[panel_idx]
+
+    tsv = os.path.join(args.output, "adv_evidence.tsv")
+    with open(tsv, "w") as f:
+        f.write("Model\tPSNR-color\tGradRatio\tGradHistL1\t"
+                "TexGramPix\tTexGramVGG\n")
+        for r in rows:
+            f.write(f"{r[0]}\t{r[1]:.4f}\t{r[2]:.4f}\t{r[3]:.5f}\t"
+                    f"{r[4]:.6e}\t{r[5]:.6e}\n")
+    print("wrote", tsv)
+
+    # ---- side-by-side PNG panels (GT | models), nearest-upscaled 4x --
+    import imageio
+    names = ["GT"] + [r[0] for r in rows]
+    tiles = []
+    for i in range(len(panel_idx)):
+        row = [np.clip(panels[n][i], 0, 1) for n in names]
+        row = [np.kron(t, np.ones((3, 3, 1), np.float32)) for t in row]
+        sep = np.ones((row[0].shape[0], 4, 3), np.float32)
+        out = []
+        for t in row:
+            out.extend([t, sep])
+        tiles.append(np.concatenate(out[:-1], axis=1))
+    vsep = np.ones((4, tiles[0].shape[1], 3), np.float32)
+    img = []
+    for t in tiles:
+        img.extend([t, vsep])
+    img = np.concatenate(img[:-1], axis=0)
+    png = os.path.join(args.output, "panels.png")
+    imageio.imwrite(png, (img * 255).astype(np.uint8))
+    with open(os.path.join(args.output, "panels.txt"), "w") as f:
+        f.write("columns left->right: " + " | ".join(names) + "\n")
+    print("wrote", png, "columns:", " | ".join(names))
+
+
+if __name__ == "__main__":
+    main()

@@ -173,3 +173,36 @@ def test_main_psnr_crops_batched(tmp_path):
     row = [l for l in out.splitlines() if l.startswith("bilinear")][0]
     vals = [float(x) for x in row.split()[1:]]
     assert len(vals) == 6 and all(np.isfinite(vals)) and vals[0] > 10
+
+
+def test_adv_evidence_harness(tmp_path):
+    """GAN-evidence harness (texture/sharpness metrics + panels) runs on
+    a generated clip dir; gradient ratio of bilinear must be < 1 (it
+    smooths) and all metrics finite; the panel PNG is written."""
+    import numpy as np
+    from isosurfacesuperresolution_tpu.config import RenderConfig
+    from isosurfacesuperresolution_tpu.data.generation import (
+        SequenceConfig, generate_sequences)
+    from isosurfacesuperresolution_tpu.volume import analytic
+
+    seq_cfg = SequenceConfig(num_frames=3, high_res=96, ao_samples=0)
+    generate_sequences([(analytic.sphere_volume(32), (0.5, 0.5))], 2,
+                       seq_cfg, base_render_cfg=RenderConfig(
+                           step_voxels=0.5),
+                       seed=0, out_dir=str(tmp_path / "clips"))
+    import contextlib, io
+    from isosurfacesuperresolution_tpu.apps.adv_evidence import main
+    out_dir = tmp_path / "ev"
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        main(["--dataset", str(tmp_path / "clips"), "--models",
+              "bilinear", "--samples", "16", "--cropSize", "16",
+              "--testFraction", "0.5", "--numPanels", "2",
+              "--output", str(out_dir)])
+    out = buf.getvalue()
+    row = [l for l in out.splitlines() if l.startswith("bilinear")][0]
+    vals = [float(x) for x in row.split()[1:]]
+    assert len(vals) == 5 and all(np.isfinite(vals))
+    assert 0.0 < vals[1] < 1.0          # bilinear smooths: grad ratio < 1
+    assert (out_dir / "panels.png").exists()
+    assert (out_dir / "adv_evidence.tsv").exists()
