@@ -150,14 +150,71 @@ def ao_from_sh(sh: jnp.ndarray, normal: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(ao, 0.0, 1.0)
 
 
+def _upsample1d_linear(a: "np.ndarray", axis: int, n_out: int,
+                       factor: int) -> "np.ndarray":
+    """Host-side linear upsampling along one axis (cell-center aligned:
+    coarse center j+0.5 maps to fine (j+0.5)*factor)."""
+    import numpy as np
+    pos = (np.arange(n_out, dtype=np.float64) + 0.5) / factor - 0.5
+    i0 = np.clip(np.floor(pos).astype(np.int64), 0, a.shape[axis] - 1)
+    i1 = np.clip(i0 + 1, 0, a.shape[axis] - 1)
+    w = (pos - np.floor(pos)).astype(np.float32)
+    shape = [1] * a.ndim
+    shape[axis] = n_out
+    w = w.reshape(shape)
+    return (np.take(a, i0, axis) * (1.0 - w)
+            + np.take(a, i1, axis) * w)
+
+
 def attach_baked_ao(grid: BrickGrid, isovalue: float, ao_radius_world: float,
-                    num_dirs: int = 32, num_steps: int = 12) -> BrickGrid:
+                    num_dirs: int = 32, num_steps: int = 12,
+                    downsample: int = 1,
+                    out_dtype=None) -> BrickGrid:
     """Return a copy of ``grid`` carrying the baked SH occlusion field.
 
     ``ao_radius_world`` is the renderer's world-space AO radius
     (RenderConfig.ao_radius); it converts to voxels via the grid transform.
+
+    ``downsample`` > 1 bakes at reduced resolution and upsamples the SH
+    field back (on the host - the fine f32 field would not fit HBM at
+    1024^3): occlusion is a hemisphere integral, inherently low-frequency,
+    so a half-res bake loses almost nothing while cutting the bake's
+    dense-f32 working set 8x.  This is what makes 1024^3 + AO fit on one
+    chip (the full-res bake carries ~6 dense f32 copies = 26 GB there).
+    ``out_dtype`` (e.g. jnp.bfloat16) quantizes the attached field; the
+    sweep kernels stream it at their matmul dtype anyway.
     """
+    import jax
+    import numpy as np
+
     radius_vox = float(ao_radius_world) / float(grid.voxel_size[0])
-    sh = bake_occlusion_sh(grid.dequant(grid.values), isovalue, radius_vox,
+    f = int(downsample)
+    if f <= 1:
+        sh = bake_occlusion_sh(grid.dequant(grid.values), isovalue,
+                               radius_vox, num_dirs=num_dirs,
+                               num_steps=num_steps)
+        if out_dtype is not None:
+            sh = sh.astype(out_dtype)
+        return dataclasses.replace(grid, ao_sh=sh)
+
+    X, Y, Z = grid.values.shape
+    if X % f or Y % f or Z % f:
+        raise ValueError(f"downsample {f} must divide the volume shape "
+                         f"{(X, Y, Z)} (volumes are brick-padded)")
+
+    @jax.jit
+    def pooled(v):
+        d = grid.dequant(v)
+        return d.reshape(X // f, f, Y // f, f, Z // f, f).mean((1, 3, 5))
+
+    ds = pooled(grid.values)
+    sh = bake_occlusion_sh(ds, isovalue, radius_vox / f,
                            num_dirs=num_dirs, num_steps=num_steps)
-    return dataclasses.replace(grid, ao_sh=sh)
+    sh_np = np.asarray(sh, np.float32)
+    del sh, ds
+    for axis, n in ((0, X), (1, Y), (2, Z)):
+        sh_np = _upsample1d_linear(sh_np, axis, n, f)
+    if out_dtype is not None:
+        sh_np = sh_np.astype(np.dtype(out_dtype))  # bf16 via ml_dtypes
+    import jax.numpy as jnp
+    return dataclasses.replace(grid, ao_sh=jnp.asarray(sh_np))

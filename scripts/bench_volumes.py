@@ -69,20 +69,20 @@ def bench_res(res: int, family: str, N: int, sparse: bool = False,
                                         store_dtype=store)
             del dense
     if ao:
-        # bake the SH occlusion field (one-time per volume+iso); the bake
-        # materializes dense f32 shift copies, so cap it at 512^3
-        if res > 512:
-            raise ValueError("--ao bake needs dense f32 shift copies; "
-                             ">512^3 exceeds HBM (bake offline/half-res)")
-        import dataclasses as _dc
-
+        # bake the SH occlusion field (one-time per volume+iso); above
+        # 512^3 the full-res bake's dense f32 copies exceed HBM, so bake
+        # at half resolution and upsample (AO is low-frequency); bf16
+        # field halves the AO HBM (the kernels stream it at bf16 anyway)
         from isosurfacesuperresolution_tpu.render.ao_sweep import (
             attach_baked_ao)
         tb = time.time()
-        grid = attach_baked_ao(grid, 0.36, 0.2)
-        # bf16 field: halve the AO HBM (the kernel matmuls in bf16 anyway)
-        grid = _dc.replace(grid, ao_sh=grid.ao_sh.astype(jnp.bfloat16))
-        print(f"[{res}^3] AO bake {time.time() - tb:.0f}s", file=sys.stderr)
+        grid = attach_baked_ao(grid, 0.36, 0.2,
+                               downsample=(2 if res > 512 else 1),
+                               out_dtype=jnp.bfloat16)
+        print(f"[{res}^3] AO bake {time.time() - tb:.0f}s "
+              f"({'half-res+upsample' if res > 512 else 'full-res'}, "
+              f"bf16 field {grid.ao_sh.nbytes / 1e6:.0f} MB)",
+              file=sys.stderr)
         store += "+ao"
     if sparse:
         from isosurfacesuperresolution_tpu.volume.packed import (
@@ -100,8 +100,14 @@ def bench_res(res: int, family: str, N: int, sparse: bool = False,
     print(f"[{res}^3 {store}] generated in {gen_s:.0f}s, "
           f"occupied bricks (iso .36): {100 * occ:.0f}%", file=sys.stderr)
 
+    # ao_samples > 0 + ao_mode="volume" actually enables the baked-AO
+    # capture: an earlier revision left ao_samples=0 here, so the table's
+    # "+ao" rows carried the field without rendering it (the "+AO faster
+    # than no-AO" giveaway) - those rows were re-measured
     cfg = RenderConfig(width=480, height=270, isovalue=0.36,
-                       ao_samples=0, renderer="sweep_pallas",
+                       ao_samples=(64 if ao else 0),
+                       ao_mode=("volume" if ao else "auto"),
+                       renderer="sweep_pallas",
                        sweep_oversample=1.25, sweep_dtype="bfloat16")
 
     def cam_at(ang):
@@ -150,7 +156,7 @@ def main() -> None:
     p.add_argument("--ao", action="store_true",
                    help="bake the SH occlusion field and bench with the "
                         "AO-enabled G-buffer (tiled pass-2 capture); "
-                        "<=512^3 only (the bake needs dense f32 copies)")
+                        ">512^3 bakes half-res + upsamples")
     p.add_argument("--cpu", action="store_true",
                    help="hard-pin the CPU backend (sitecustomize re-pins "
                         "to the tunneled TPU otherwise)")

@@ -32,8 +32,11 @@ if [ -z "$JOB" ] || [ ! -f "$JOB" ]; then
   exit 2
 fi
 S=/tmp/tpu_queue.status
-echo $$ > /tmp/queue.pid
-trap 'rm -f /tmp/queue.pid' EXIT
+# unique per-driver pid file (still matched by bench.py's /tmp/queue*.pid
+# glob) so chained drivers gated on each other never collide
+PIDFILE=/tmp/queue_$$.pid
+echo $$ > "$PIDFILE"
+trap 'rm -f "$PIDFILE"' EXIT
 
 log() { echo "$(date -u +%H:%M:%S) $*" >> "$S"; }
 probe() { timeout 150 python -c "import jax; jax.devices()" >/dev/null 2>&1; }

@@ -98,3 +98,34 @@ def test_generation_bakes_ao_for_sweep():
     mask = seqs[0]["high"][..., 0] > 0
     assert ao[~mask].min() == 1.0
     assert ao[mask].min() < 1.0          # some occlusion on the sphere edge
+
+
+def test_coarse_bake_upsample_matches_full_bake():
+    """attach_baked_ao(downsample=2) bakes at half res and upsamples;
+    AO is low-frequency so the field must stay close to the full-res
+    bake, and the attached field must render through the sweep."""
+    grid = analytic.blobs_volume(64, num_blobs=6, seed=3)
+    full = attach_baked_ao(grid, 0.5, 0.15)
+    coarse = attach_baked_ao(grid, 0.5, 0.15, downsample=2,
+                             out_dtype=jnp.bfloat16)
+    assert coarse.ao_sh.shape == full.ao_sh.shape
+    assert coarse.ao_sh.dtype == jnp.bfloat16
+    a = np.asarray(full.ao_sh[..., 0], np.float32).ravel()
+    b = np.asarray(coarse.ao_sh[..., 0], np.float32).ravel()
+    # mean-occlusion channel: close in L1 and strongly correlated
+    assert np.abs(a - b).mean() < 0.05
+    keep = a.std() > 0 and b.std() > 0
+    assert keep and np.corrcoef(a, b)[0, 1] > 0.95
+
+    cfg = RenderConfig(width=32, height=32, isovalue=0.5, ao_samples=32,
+                       ao_mode="volume", renderer="sweep",
+                       step_voxels=0.5)
+    cam = CameraParams.create((0.0, 0.9, -1.7))
+    fr_full = np.asarray(render_gbuffer_sweep(full, cam, cam, cfg))
+    fr_coarse = np.asarray(render_gbuffer_sweep(coarse, cam, cam, cfg))
+    m = fr_full[..., 3] > 0.5
+    assert m.any()
+    assert np.isfinite(fr_coarse).all()
+    # rendered AO channel within a few percent where the surface is hit
+    d = np.abs(fr_full[..., 10] - fr_coarse[..., 10])[m]
+    assert d.mean() < 0.05, d.mean()
