@@ -42,7 +42,7 @@ while true; do
   done
   # Also snapshot queue logs + status so progress is inspectable post-recycle.
   mkdir -p artifacts/logs
-  for f in /tmp/tpu_queue.status /tmp/q*_*.log; do
+  for f in /tmp/tpu_queue.status /tmp/q*_*.log /tmp/r3_*.log; do
     [ -f "$f" ] || continue
     b=$(basename "$f")
     if ! cmp -s "$f" "artifacts/logs/$b"; then cp "$f" "artifacts/logs/$b"; changed=1; fi
