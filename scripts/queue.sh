@@ -41,6 +41,9 @@ trap 'rm -f "$PIDFILE"' EXIT
 log() { echo "$(date -u +%H:%M:%S) $*" >> "$S"; }
 probe() { timeout 150 python -c "import jax; jax.devices()" >/dev/null 2>&1; }
 wait_up() {
+  # ISOSR_QUEUE_NO_PROBE: tests exercise the driver without creating a
+  # jax client (the probe itself would grab the single-client tunnel)
+  [ -n "$ISOSR_QUEUE_NO_PROBE" ] && return 0
   until probe; do log "tunnel down, retry in 180s"; sleep 180; done
   log "tunnel UP"
 }
