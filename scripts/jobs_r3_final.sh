@@ -55,6 +55,17 @@ run_stage f4_adv_evidence 2400 /tmp/r3_adv_evidence.log -- \
     --models bilinear artifacts/run00005 artifacts/run00003 "$NEW" \
     --output artifacts/quality/adv_evidence
 
+# all-angle robustness of the consolidated net (round-2 protocol:
+# random sphere cameras x rolls, full views live-rendered, bilinear
+# reference comparison) - the "no weak angles" check for the one-net
+# claim
+run_stage f4b_allangles 2400 /tmp/r3_allangles.log -- \
+  python -m isosurfacesuperresolution_tpu.apps.main_psnr_allangles \
+    --volume analytic:blobs --cameras 20 --rolls 6 --lowRes 128 \
+    --models bilinear artifacts/run00005 "$NEW" \
+    --output /tmp/r3_allangles_out
+cp /tmp/r3_allangles_out/*.tsv artifacts/quality/ 2>/dev/null
+
 run_stage f5_perf_ao 5400 /tmp/r3_perf_ao.log -- \
   python scripts/bench_volumes.py --res 512,1024 --frames 10 --ao
 
