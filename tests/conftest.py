@@ -7,6 +7,8 @@ benchmarking happens in bench.py, not in the unit-test suite.
 import os
 import sys
 
+import pytest
+
 # hard override: the image's sitecustomize registers the tunneled-TPU "axon"
 # PJRT plugin in every process and re-sets jax_platforms after import, so the
 # env var alone is not enough - update the jax config explicitly too.
@@ -42,3 +44,16 @@ def pytest_collection_modifyitems(config, items):
         base = item.nodeid.split("[")[0]
         if base in SLOW_TESTS:
             item.add_marker(pytest.mark.slow)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_xla_cpu_memory_between_modules():
+    """Clear jax's compiled-executable caches after each test module.
+
+    A full slow-suite run accumulates every module's XLA:CPU executables
+    in one process and eventually segfaults inside a late big compile
+    (observed at test_train's adversarial step, ~100 slow tests in);
+    per-module cache clearing bounds the growth.  Cross-module cache
+    reuse is negligible (modules jit their own functions)."""
+    yield
+    jax.clear_caches()
