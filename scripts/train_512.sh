@@ -6,6 +6,12 @@
 #    tiled Pallas sweep and train on them.
 set -e
 cd "$(dirname "$0")/.."
+# round-end control: a queue tail can be retargeted without editing a
+# jobfile a running driver is sourcing (bash reads those incrementally)
+if [ -f /tmp/skip_train512 ]; then
+  echo "train_512: /tmp/skip_train512 present; skipping"
+  exit 0
+fi
 python - <<'PY'
 import numpy as np, os
 from isosurfacesuperresolution_tpu.volume import analytic
