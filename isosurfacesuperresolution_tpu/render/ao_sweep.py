@@ -156,9 +156,16 @@ def _upsample1d_linear(a: "np.ndarray", axis: int, n_out: int,
     coarse center j+0.5 maps to fine (j+0.5)*factor)."""
     import numpy as np
     pos = (np.arange(n_out, dtype=np.float64) + 0.5) / factor - 0.5
-    i0 = np.clip(np.floor(pos).astype(np.int64), 0, a.shape[axis] - 1)
+    # Clamp the sample position BEFORE deriving index/weight: for fine
+    # positions below the first coarse center (pos < 0) the unclamped
+    # weight stayed ~0.75 with i0 == i1 - 1 == 0, blending 75% of the
+    # SECOND coarse cell into the first factor/2 boundary layers (the
+    # edge was non-monotonic).  With pos clamped both edges degrade to
+    # constant extrapolation.
+    pos = np.clip(pos, 0.0, a.shape[axis] - 1.0)
+    i0 = np.floor(pos).astype(np.int64)
     i1 = np.clip(i0 + 1, 0, a.shape[axis] - 1)
-    w = (pos - np.floor(pos)).astype(np.float32)
+    w = (pos - i0).astype(np.float32)
     shape = [1] * a.ndim
     shape[axis] = n_out
     w = w.reshape(shape)
@@ -202,12 +209,27 @@ def attach_baked_ao(grid: BrickGrid, isovalue: float, ao_radius_world: float,
         raise ValueError(f"downsample {f} must divide the volume shape "
                          f"{(X, Y, Z)} (volumes are brick-padded)")
 
-    @jax.jit
-    def pooled(v):
-        d = grid.dequant(v)
-        return d.reshape(X // f, f, Y // f, f, Z // f, f).mean((1, 3, 5))
-
-    ds = pooled(grid.values)
+    # Pool on the HOST.  The previous on-device
+    #   reshape(X//f, f, Y//f, f, Z//f, f).mean((1, 3, 5))
+    # dies at 1024^3: the trailing dim of 2 is tile-padded to 128 under
+    # the TPU (8, 128) layout, turning a 4 GiB temp into a 256 GiB
+    # allocation (same bug class as the round-2 brick-pyramid reshape;
+    # log: artifacts/logs/r3_perf_ao.log).  numpy slab-pooling keeps the
+    # host working set < ~0.5 GiB and the affine dequant commutes with
+    # the mean, so it is applied to the pooled result.
+    v_np = np.asarray(grid.values)
+    Xc, Yc, Zc = X // f, Y // f, Z // f
+    ds_np = np.empty((Xc, Yc, Zc), np.float32)
+    slab = max(1, 128 // f)
+    for x0 in range(0, Xc, slab):
+        x1 = min(Xc, x0 + slab)
+        blk = v_np[x0 * f:x1 * f].astype(np.float32)
+        ds_np[x0:x1] = blk.reshape(x1 - x0, f, Yc, f, Zc, f).mean((1, 3, 5))
+    if grid.value_scale != 1.0:
+        ds_np *= np.float32(grid.value_scale)
+    if grid.value_offset != 0.0:
+        ds_np += np.float32(grid.value_offset)
+    ds = jnp.asarray(ds_np)
     sh = bake_occlusion_sh(ds, isovalue, radius_vox / f,
                            num_dirs=num_dirs, num_steps=num_steps)
     sh_np = np.asarray(sh, np.float32)
@@ -216,5 +238,4 @@ def attach_baked_ao(grid: BrickGrid, isovalue: float, ao_radius_world: float,
         sh_np = _upsample1d_linear(sh_np, axis, n, f)
     if out_dtype is not None:
         sh_np = sh_np.astype(np.dtype(out_dtype))  # bf16 via ml_dtypes
-    import jax.numpy as jnp
     return dataclasses.replace(grid, ao_sh=jnp.asarray(sh_np))

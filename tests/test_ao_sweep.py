@@ -129,3 +129,45 @@ def test_coarse_bake_upsample_matches_full_bake():
     # rendered AO channel within a few percent where the surface is hit
     d = np.abs(fr_full[..., 10] - fr_coarse[..., 10])[m]
     assert d.mean() < 0.05, d.mean()
+
+
+def test_upsample1d_linear_boundary_clamped():
+    """Lower-edge regression (round-3 advisor): upsampling [0,1,2,3] by 2
+    must start at 0.0 (constant extrapolation below the first coarse
+    center), not 0.75 of the second cell, and both edges are monotone."""
+    from isosurfacesuperresolution_tpu.render.ao_sweep import (
+        _upsample1d_linear)
+    a = np.arange(4, dtype=np.float32)
+    up = _upsample1d_linear(a, 0, 8, 2)
+    assert up[0] == 0.0
+    assert up[-1] == 3.0
+    assert np.all(np.diff(up) >= 0)     # monotone, no boundary kink
+    # interior samples still hit the exact linear interpolant
+    np.testing.assert_allclose(up[1:-1],
+                               np.interp((np.arange(1, 7) + 0.5) / 2 - 0.5,
+                                         np.arange(4), a), atol=1e-6)
+
+
+def test_attach_baked_ao_downsample_pools_on_host():
+    """The downsample>1 path must not build the tile-padded
+    (X//f, f, Y//f, f, Z//f, f) device temp that OOM'd the 1024^3 bake
+    (256 GiB in r3_perf_ao.log); host pooling + affine dequant must match
+    the direct mean for quantized grids."""
+    import dataclasses as _dc
+    grid = analytic.blobs_volume(32, num_blobs=4, seed=5)
+    # quantize to uint8 to exercise the affine-after-pool path
+    v = np.asarray(grid.values, np.float32)
+    q = np.round((v - v.min()) / (np.ptp(v) / 255.0)).astype(np.uint8)
+    scale = float(np.ptp(v) / 255.0)
+    off = float(v.min())
+    qgrid = _dc.replace(grid, values=jnp.asarray(q),
+                        value_scale=scale, value_offset=off)
+    out = attach_baked_ao(qgrid, 0.5, 0.15, downsample=2)
+    ref = attach_baked_ao(grid, 0.5, 0.15, downsample=2)
+    d = np.abs(np.asarray(out.ao_sh, np.float32)
+               - np.asarray(ref.ao_sh, np.float32))
+    # uint8 quantization can flip inside/outside for voxels within one
+    # quantization step of the isovalue, so bound the mean tightly and
+    # the max loosely
+    assert d.mean() < 1e-3, d.mean()
+    assert d.max() < 0.05, d.max()
