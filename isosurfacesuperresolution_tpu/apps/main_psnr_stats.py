@@ -113,6 +113,7 @@ def main(argv=None):
                             "masked" in flags))
 
         out_path = os.path.join(args.output, f"stats_{vol_name}.tsv")
+        err_rows = []       # (model, seq_spread dict) for the _err table
         with open(out_path, "w") as f:
             f.write("Model\t" + Statistics.header())
             for name, model_spec, temporal, masked in entries:
@@ -148,8 +149,10 @@ def main(argv=None):
                                 1.0 + base * (pred[..., 5:6] - 1.0),
                             ], axis=-1)
                         stats.add_timestep_sample(pred, gt, low)
+                    stats.mark_sequence()
                 f.write(name + "\t")
                 stats.write_sample(f)
+                err_rows.append((name, stats.seq_spread()))
                 np.savez(os.path.join(
                     args.output, f"hist_{vol_name}_{name}.npz"),
                     **stats.histograms)
@@ -159,6 +162,18 @@ def main(argv=None):
                       f"normal {m['psnr_normal']:.2f} dB "
                       f"({stats.n} frames)")
         print("wrote", out_path)
+
+        # per-sequence uncertainty table (mean +- std over sequences per
+        # mean-type field); _max fields are global and carry no spread
+        err_path = os.path.join(args.output, f"stats_{vol_name}_err.tsv")
+        with open(err_path, "w") as f:
+            f.write("Model\tField\tMean\tStd\tMin\tMax\tNseq\n")
+            for name, spread in err_rows:
+                for field, s in spread.items():
+                    f.write(f"{name}\t{field}\t{s['mean']:.6f}\t"
+                            f"{s['std']:.6f}\t{s['min']:.6f}\t"
+                            f"{s['max']:.6f}\t{s['nseq']}\n")
+        print("wrote", err_path)
 
 
 if __name__ == "__main__":

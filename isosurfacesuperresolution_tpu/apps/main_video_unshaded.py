@@ -539,8 +539,12 @@ def main(argv=None) -> None:
     # drivers (bench.py preempt_queues) and the host VM can be recycled;
     # both deliver SIGTERM.  The handler only sets a flag - the batch
     # loop breaks at the next step boundary (<1 s), saves a full orbax
-    # checkpoint + params.npz, and exits cleanly, so preemption never
-    # loses more than the current batch.
+    # checkpoint + params.npz, and exits cleanly.  The PARAMETER STATE
+    # therefore loses at most the current batch; the checkpoint is saved
+    # under the interrupted epoch's number and --restore resumes at
+    # epoch+1, so the unprocessed remainder of that epoch's batches is
+    # skipped on resume (resume rounds up to the next epoch; with
+    # shuffled epochs this skews nothing, it just shortens one epoch).
     import signal
     _stop = {"sig": None}
 
@@ -548,7 +552,7 @@ def main(argv=None) -> None:
         _stop["sig"] = signum
         print(f"signal {signum} received: checkpointing at the next "
               f"batch boundary, then exiting", flush=True)
-    prev_term = signal.signal(signal.SIGTERM, _on_term)
+    signal.signal(signal.SIGTERM, _on_term)
 
     recent_losses: List[float] = []   # spike-guard window
     for epoch in range(start_epoch, t.epochs + 1):

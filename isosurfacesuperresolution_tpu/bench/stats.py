@@ -61,6 +61,43 @@ class Statistics:
         self.n = 0
         for f in self.FIELDS:
             setattr(self, f, 0.0)
+        # per-sequence segmentation for error bars (VERDICT r3 item 4:
+        # win/loss cells decided by <0.5 dB need uncertainty; analogous
+        # to mainPSNR2_AllAngles.py:419-438's min/max/mean+-var output).
+        # mark_sequence() snapshots the mean of every mean-type field
+        # over the frames added since the previous mark.
+        self.seq_means = []
+        self._seg_n = 0
+        self._seg_sums = {f: 0.0 for f in self.FIELDS
+                          if not f.endswith("_max")}
+
+    def mark_sequence(self) -> None:
+        """Close the current sequence segment; records its per-field means.
+
+        Call once per rendered camera sequence; segments where every frame
+        was skipped for insufficient filling are dropped (no sample).
+        """
+        dn = self.n - self._seg_n
+        if dn > 0:
+            self.seq_means.append(
+                {f: (getattr(self, f) - s) / dn
+                 for f, s in self._seg_sums.items()})
+        self._seg_n = self.n
+        self._seg_sums = {f: getattr(self, f) for f in self._seg_sums}
+
+    def seq_spread(self) -> Dict[str, Dict[str, float]]:
+        """Per-field mean / std / min / max over the recorded sequences."""
+        out = {}
+        if not self.seq_means:
+            return out
+        for f in self.seq_means[0]:
+            vals = np.array([m[f] for m in self.seq_means], np.float64)
+            out[f] = {"mean": float(vals.mean()),
+                      "std": float(vals.std(ddof=1)) if len(vals) > 1
+                      else 0.0,
+                      "min": float(vals.min()), "max": float(vals.max()),
+                      "nseq": len(vals)}
+        return out
 
     # -- core ---------------------------------------------------------------
     def add_timestep_sample(self, pred_mnda: jnp.ndarray,

@@ -79,15 +79,22 @@ def make_hybrid_mesh(num_dcn: Optional[int] = None,
     convention, exercised end-to-end by the virtual 8-device suite).
     """
     devices = list(devices if devices is not None else jax.devices())
+    slice_ids = {getattr(d, "slice_index", None) for d in devices}
+    have_slice_topology = (jax.process_count() > 1
+                           and None not in slice_ids
+                           and len(slice_ids) > 1)
     if num_dcn is None:
-        num_dcn = max(1, jax.process_count())
+        # Prefer real slice metadata over process count: on pods with
+        # several hosts per slice (e.g. 4 processes over 2 slices) a
+        # process-count default would split hosts WITHIN one ICI slice
+        # across the outer "dcn" axis (round-3 advisor finding).
+        num_dcn = (len(slice_ids) if have_slice_topology
+                   else max(1, jax.process_count()))
     if len(devices) % num_dcn != 0:
         raise ValueError(f"{len(devices)} devices do not split into "
                          f"{num_dcn} DCN groups")
     per = len(devices) // num_dcn
-    slice_ids = {getattr(d, "slice_index", None) for d in devices}
-    if (jax.process_count() > 1 and None not in slice_ids
-            and len(slice_ids) == num_dcn):
+    if have_slice_topology and len(slice_ids) == num_dcn:
         from jax.experimental import mesh_utils
         dev_grid = mesh_utils.create_hybrid_device_mesh(
             mesh_shape=(1, per), dcn_mesh_shape=(num_dcn, 1),
@@ -95,7 +102,16 @@ def make_hybrid_mesh(num_dcn: Optional[int] = None,
     elif jax.process_count() > 1:
         # No usable slice topology (multi-process CPU reports one slice;
         # some backends report none): group by process so the outer axis
-        # still follows the host/DCN boundary.
+        # still follows the host/DCN boundary.  If slice metadata DOES
+        # exist but contradicts the requested num_dcn, say so loudly -
+        # the outer axis will then cut through ICI slices.
+        if have_slice_topology:
+            import warnings
+            warnings.warn(
+                f"make_hybrid_mesh: num_dcn={num_dcn} does not match the "
+                f"{len(slice_ids)} detected ICI slices; falling back to "
+                f"per-process grouping whose outer axis may split hosts "
+                f"within a slice", stacklevel=2)
         devices = sorted(devices, key=lambda d: (d.process_index, d.id))
         dev_grid = np.asarray(devices).reshape(num_dcn, per)
     else:

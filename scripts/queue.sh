@@ -33,8 +33,10 @@ if [ -z "$JOB" ] || [ ! -f "$JOB" ]; then
 fi
 S=/tmp/tpu_queue.status
 # unique per-driver pid file (still matched by bench.py's /tmp/queue*.pid
-# glob) so chained drivers gated on each other never collide
-PIDFILE=/tmp/queue_$$.pid
+# glob) so chained drivers gated on each other never collide.
+# ISOSR_QUEUE_PIDDIR: tests sandbox the pid file so a concurrently
+# running real driver can't make pidfile-lifecycle assertions flaky.
+PIDFILE=${ISOSR_QUEUE_PIDDIR:-/tmp}/queue_$$.pid
 echo $$ > "$PIDFILE"
 trap 'rm -f "$PIDFILE"' EXIT
 

@@ -121,6 +121,39 @@ def test_stats_harness(tmp_path, trained_run):
     # bilinear row has sane PSNR values
     vals = lines[1].split("\t")
     assert float(vals[1]) > 5.0  # PSNR-normal
+    # per-sequence uncertainty companion table (round-4: error bars)
+    err = os.path.join(out, "stats_sphere_err.tsv")
+    lines = open(err).read().strip().split("\n")
+    assert lines[0] == "Model\tField\tMean\tStd\tMin\tMax\tNseq"
+    assert len(lines) > 1
+    row = dict(zip(lines[0].split("\t"), lines[1].split("\t")))
+    assert int(row["Nseq"]) == 1 and float(row["Std"]) == 0.0
+
+
+def test_statistics_sequence_spread():
+    """mark_sequence segments the accumulators: per-seq means recover the
+    exact per-segment averages and seq_spread reports their spread."""
+    import numpy as np
+    from isosurfacesuperresolution_tpu.bench.stats import Statistics
+    s = Statistics()
+    # drive the accumulators directly (frames are expensive): two
+    # sequences of 2 and 3 "frames" with known psnr_normal values
+    for v in (10.0, 20.0):
+        s.psnr_normal += v
+        s.n += 1
+    s.mark_sequence()
+    for v in (30.0, 30.0, 30.0):
+        s.psnr_normal += v
+        s.n += 1
+    s.mark_sequence()
+    s.mark_sequence()                      # empty segment: dropped
+    spread = s.seq_spread()["psnr_normal"]
+    assert spread["nseq"] == 2
+    assert spread["mean"] == 22.5          # (15 + 30) / 2
+    assert spread["min"] == 15.0 and spread["max"] == 30.0
+    assert abs(spread["std"] - np.std([15.0, 30.0], ddof=1)) < 1e-12
+    # the global means are untouched by segmentation
+    assert abs(s.means()["psnr_normal"] - 24.0) < 1e-12
 
 
 def test_comparison_harness(tmp_path):

@@ -23,7 +23,8 @@ def run_queue(tmp_path, jobtext):
                 scripts / "queue.sh")
     job = tmp_path / "job.sh"
     job.write_text(jobtext)
-    env = dict(os.environ, ISOSR_QUEUE_NO_PROBE="1")
+    env = dict(os.environ, ISOSR_QUEUE_NO_PROBE="1",
+               ISOSR_QUEUE_PIDDIR=str(tmp_path))
     r = subprocess.run(["bash", str(scripts / "queue.sh"), str(job)],
                        capture_output=True, text=True, timeout=120,
                        env=env)
@@ -98,8 +99,9 @@ NEW=$(expect_new_run "$PRE") && log "ok accepted $(basename $NEW)"
 
 
 def test_pidfile_lifecycle(tmp_path):
-    pre = set(f for f in os.listdir("/tmp") if f.startswith("queue_"))
+    # the driver's pid dir is sandboxed to tmp_path (ISOSR_QUEUE_PIDDIR)
+    # so a real driver starting concurrently in /tmp can't perturb this
     r = run_queue(tmp_path, 'log "noop"\n')
     assert r.returncode == 0
-    post = set(f for f in os.listdir("/tmp") if f.startswith("queue_"))
-    assert post <= pre                     # pid file removed on exit
+    left = [f for f in os.listdir(tmp_path) if f.startswith("queue_")]
+    assert left == []                      # pid file removed on exit
