@@ -68,6 +68,19 @@ def bench_res(res: int, family: str, N: int, sparse: bool = False,
             grid = BrickGrid.from_dense(dense, brick_size=grid.brick_size,
                                         store_dtype=store)
             del dense
+            # persist for the next invocation (~45 min of 1-core numpy
+            # at 1024^3; round 3's f5 stage burned its whole timeout
+            # regenerating this - scripts/gen_volume_cache.py writes the
+            # same file offline)
+            np.savez(cache, values=np.asarray(grid.values),
+                     brick_min=np.asarray(grid.brick_min),
+                     brick_max=np.asarray(grid.brick_max),
+                     bbox_min=np.asarray(grid.bbox_min),
+                     bbox_max=np.asarray(grid.bbox_max),
+                     brick_size=grid.brick_size,
+                     value_scale=grid.value_scale,
+                     value_offset=grid.value_offset)
+            print(f"[{res}^3] cached {cache}", file=sys.stderr)
     if ao:
         # bake the SH occlusion field (one-time per volume+iso); above
         # 512^3 the full-res bake's dense f32 copies exceed HBM, so bake
