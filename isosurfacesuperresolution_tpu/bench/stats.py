@@ -25,6 +25,9 @@ BORDER = 15          # mainPSNR3_AllStats.py:126
 MIN_FILLING = 0.05   # :127
 NUM_BINS = 200       # :128
 
+# jitted per-frame metric programs keyed by (upscaling, shading config)
+_FRAME_METRICS_CACHE: dict = {}
+
 # the paper's stats shading constants (:109-119)
 STATS_SHADING = ShadingConfig(
     ambient_color=(0.1, 0.1, 0.1),
@@ -55,6 +58,7 @@ class Statistics:
                            for k in ["mask", "normal", "depth", "ao",
                                      "color_withAO", "color_noAO"]}
         self.histogram_counter = 0
+        self._frame_metrics = None   # built lazily, cached across reset()
         self.reset()
 
     def reset(self):
@@ -100,6 +104,106 @@ class Statistics:
         return out
 
     # -- core ---------------------------------------------------------------
+    # All per-frame metrics are computed in ONE jitted program with ONE
+    # device->host transfer.  The previous formulation issued ~19
+    # separate float()/np.asarray() syncs per frame; over the tunneled
+    # TPU transport each sync pays full round-trip latency, which made
+    # the metric pass (~10 s/frame) dominate the whole stats harness
+    # (round-3 f3 stage timings: ~5 min per model per 30 frames).
+    _MEAN_FIELDS = [f for f in FIELDS if not f.endswith("_max")]
+    _HIST_KEYS = ["mask", "normal", "depth", "ao", "color_withAO",
+                  "color_noAO"]
+
+    def _build_frame_metrics(self):
+        cfg = self.shading_cfg
+        no_ao = cfg.replace(ao_strength=0.0)
+        upscaling = self.upscaling
+
+        def frame_metrics(pred_mnda, gt_mnda, input_mnda):
+            pred_color_withAO = screen_space_shading(pred_mnda, cfg)
+            gt_color_withAO = screen_space_shading(gt_mnda, cfg)
+            pred_color_noAO = screen_space_shading(pred_mnda, no_ao)
+            gt_color_noAO = screen_space_shading(gt_mnda, no_ao)
+            input_color_noAO = screen_space_shading(input_mnda, no_ao)
+
+            b2 = BORDER * upscaling
+            crop = lambda x: x[:, b2:-b2, b2:-b2]
+            crop_lo = lambda x: x[:, BORDER:-BORDER, BORDER:-BORDER]
+            pred_mnda_c = crop(pred_mnda)
+            gt_mnda_c = crop(gt_mnda)
+            pred_color_withAO = crop(pred_color_withAO)
+            gt_color_withAO = crop(gt_color_withAO)
+            pred_color_noAO = crop(pred_color_noAO)
+            gt_color_noAO = crop(gt_color_noAO)
+            input_mnda_c = crop_lo(input_mnda)
+            input_color_noAO = crop_lo(input_color_noAO)
+
+            mask = gt_mnda_c[..., 0:1] * 0.5 + 0.5
+            fill = jnp.mean(mask)
+
+            def p(a, b):
+                return psnr(a, b, mask=mask)[0]
+
+            # SSIM with pred blended onto gt outside the mask (:222)
+            pred_b = gt_mnda_c + mask * (pred_mnda_c - gt_mnda_c)
+
+            def s(a, b):
+                # val_range=None infers L from the data like the
+                # reference's MSSSIM() (utils/ssim.py:105-136 via
+                # :34-42): 2 for [-1,1] normals, 1 for depth/AO/color
+                return msssim(a, b, val_range=None)
+
+            # downsample-consistency (:229-239)
+            ds = lambda x: resize(x, scale=1.0 / upscaling,
+                                  method="bilinear")
+            ds_normal = (input_mnda_c[..., 1:4]
+                         - safe_normalize(ds(pred_mnda_c[..., 1:4]))) ** 2
+            ds_color = (input_color_noAO - ds(pred_color_noAO)) ** 2
+
+            means = jnp.stack([                      # _MEAN_FIELDS order
+                p(pred_mnda_c[..., 1:4], gt_mnda_c[..., 1:4]),
+                p(pred_mnda_c[..., 4:5], gt_mnda_c[..., 4:5]),
+                p(pred_mnda_c[..., 5:6], gt_mnda_c[..., 5:6]),
+                p(pred_color_noAO, gt_color_noAO),
+                p(pred_color_withAO, gt_color_withAO),
+                s(pred_b[..., 1:4], gt_mnda_c[..., 1:4]),
+                s(pred_b[..., 4:5], gt_mnda_c[..., 4:5]),
+                s(pred_b[..., 5:6], gt_mnda_c[..., 5:6]),
+                s(pred_color_noAO, gt_color_noAO),
+                s(pred_color_withAO, gt_color_withAO),
+                jnp.mean(ds_normal),
+                jnp.mean(ds_color),
+            ])
+            maxes = jnp.stack([jnp.max(ds_normal), jnp.max(ds_color)])
+
+            # histograms of per-pixel L1 errors (:242-266); raw counts
+            # here, density conversion on the host (np.histogram
+            # density=True semantics: counts/(sum*binwidth))
+            def h(diff):
+                return jnp.histogram(
+                    diff.ravel(), bins=NUM_BINS, range=(0, 1))[0]
+
+            hists = jnp.stack([                      # _HIST_KEYS order
+                h(jnp.abs(gt_mnda_c[0, ..., 0] - pred_mnda_c[0, ..., 0])),
+                h(jnp.sum(jnp.abs(gt_mnda_c[0, ..., 1:4]
+                                  - pred_mnda_c[0, ..., 1:4]), -1) / 6),
+                h(jnp.abs(gt_mnda_c[0, ..., 4] - pred_mnda_c[0, ..., 4])),
+                h(jnp.abs(gt_mnda_c[0, ..., 5] - pred_mnda_c[0, ..., 5])),
+                h(jnp.abs(gt_color_withAO[0, ..., 0]
+                          - pred_color_withAO[0, ..., 0])),
+                h(jnp.abs(gt_color_noAO[0, ..., 0]
+                          - pred_color_noAO[0, ..., 0])),
+            ])
+            return fill, means, maxes, hists
+
+        # cache per (upscaling, shading config): a fresh Statistics per
+        # model must reuse the compiled program, not re-trace it
+        key = (upscaling, cfg)
+        if key not in _FRAME_METRICS_CACHE:
+            import jax
+            _FRAME_METRICS_CACHE[key] = jax.jit(frame_metrics)
+        return _FRAME_METRICS_CACHE[key]
+
     def add_timestep_sample(self, pred_mnda: jnp.ndarray,
                             gt_mnda: jnp.ndarray,
                             input_mnda: jnp.ndarray) -> bool:
@@ -107,89 +211,28 @@ class Statistics:
 
         Returns False if the frame was skipped for insufficient filling.
         """
-        cfg = self.shading_cfg
-        pred_color_withAO = screen_space_shading(pred_mnda, cfg)
-        gt_color_withAO = screen_space_shading(gt_mnda, cfg)
-        no_ao = cfg.replace(ao_strength=0.0)
-        pred_color_noAO = screen_space_shading(pred_mnda, no_ao)
-        gt_color_noAO = screen_space_shading(gt_mnda, no_ao)
-        input_color_noAO = screen_space_shading(input_mnda, no_ao)
-
-        b2 = BORDER * self.upscaling
-        crop = lambda x: x[:, b2:-b2, b2:-b2]
-        crop_lo = lambda x: x[:, BORDER:-BORDER, BORDER:-BORDER]
-        pred_mnda = crop(pred_mnda)
-        gt_mnda = crop(gt_mnda)
-        pred_color_withAO = crop(pred_color_withAO)
-        gt_color_withAO = crop(gt_color_withAO)
-        pred_color_noAO = crop(pred_color_noAO)
-        gt_color_noAO = crop(gt_color_noAO)
-        input_mnda = crop_lo(input_mnda)
-        input_color_noAO = crop_lo(input_color_noAO)
-
-        mask = gt_mnda[..., 0:1] * 0.5 + 0.5
-        h, w = mask.shape[1], mask.shape[2]
-        if float(jnp.sum(mask)) / (h * w) < MIN_FILLING:
+        if self._frame_metrics is None:
+            self._frame_metrics = self._build_frame_metrics()
+        import jax
+        fill, means, maxes, hists = jax.device_get(
+            self._frame_metrics(pred_mnda, gt_mnda, input_mnda))
+        if float(fill) < MIN_FILLING:
             return False
         self.n += 1
-
-        def p(a, b):
-            return float(psnr(a, b, mask=mask)[0])
-
-        self.psnr_normal += p(pred_mnda[..., 1:4], gt_mnda[..., 1:4])
-        self.psnr_depth += p(pred_mnda[..., 4:5], gt_mnda[..., 4:5])
-        self.psnr_ao += p(pred_mnda[..., 5:6], gt_mnda[..., 5:6])
-        self.psnr_color_withAO += p(pred_color_withAO, gt_color_withAO)
-        self.psnr_color_noAO += p(pred_color_noAO, gt_color_noAO)
-
-        # SSIM with pred blended onto gt outside the mask (:222)
-        pred_b = gt_mnda + mask * (pred_mnda - gt_mnda)
-        def s(a, b):
-            # val_range=None infers L from the data like the reference's
-            # MSSSIM() (utils/ssim.py:105-136 via :34-42): 2 for the
-            # [-1,1] normal channels, 1 for depth/AO/color
-            return float(msssim(a, b, val_range=None))
-        self.ssim_normal += s(pred_b[..., 1:4], gt_mnda[..., 1:4])
-        self.ssim_depth += s(pred_b[..., 4:5], gt_mnda[..., 4:5])
-        self.ssim_ao += s(pred_b[..., 5:6], gt_mnda[..., 5:6])
-        self.ssim_color_withAO += s(pred_color_withAO, gt_color_withAO)
-        self.ssim_color_noAO += s(pred_color_noAO, gt_color_noAO)
-
-        # downsample-consistency (:229-239)
-        ds = lambda x: resize(x, scale=1.0 / self.upscaling,
-                              method="bilinear")
-        ds_normal = (input_mnda[..., 1:4]
-                     - safe_normalize(ds(pred_mnda[..., 1:4]))) ** 2
-        ds_color = (input_color_noAO - ds(pred_color_noAO)) ** 2
-        self.l2ds_normal_mean += float(jnp.mean(ds_normal))
-        self.l2ds_normal_max = max(self.l2ds_normal_max,
-                                   float(jnp.max(ds_normal)))
-        self.l2ds_colorNoAO_mean += float(jnp.mean(ds_color))
+        for f, v in zip(self._MEAN_FIELDS, np.asarray(means, np.float64)):
+            setattr(self, f, getattr(self, f) + float(v))
+        self.l2ds_normal_max = max(self.l2ds_normal_max, float(maxes[0]))
         self.l2ds_colorNoAO_max = max(self.l2ds_colorNoAO_max,
-                                      float(jnp.max(ds_color)))
+                                      float(maxes[1]))
 
-        # histograms of per-pixel L1 errors (:242-266)
         self.histogram_counter += 1
         c = self.histogram_counter
-
-        def add_hist(key, diff):
-            hist, _ = np.histogram(np.asarray(diff), bins=NUM_BINS,
-                                   range=(0, 1), density=True)
-            self.histograms[key] += (hist / NUM_BINS
-                                     - self.histograms[key]) / c
-
-        add_hist("mask", jnp.abs(gt_mnda[0, ..., 0] - pred_mnda[0, ..., 0]))
-        add_hist("normal",
-                 jnp.sum(jnp.abs(gt_mnda[0, ..., 1:4]
-                                 - pred_mnda[0, ..., 1:4]), -1) / 6)
-        add_hist("depth", jnp.abs(gt_mnda[0, ..., 4] - pred_mnda[0, ..., 4]))
-        add_hist("ao", jnp.abs(gt_mnda[0, ..., 5] - pred_mnda[0, ..., 5]))
-        add_hist("color_withAO",
-                 jnp.abs(gt_color_withAO[0, ..., 0]
-                         - pred_color_withAO[0, ..., 0]))
-        add_hist("color_noAO",
-                 jnp.abs(gt_color_noAO[0, ..., 0]
-                         - pred_color_noAO[0, ..., 0]))
+        hists = np.asarray(hists, np.float64)
+        for key, counts in zip(self._HIST_KEYS, hists):
+            # np.histogram(density=True)/NUM_BINS == counts/counts.sum()
+            # (bin width is 1/NUM_BINS); guard empty in-range sets
+            frac = counts / max(counts.sum(), 1.0)
+            self.histograms[key] += (frac - self.histograms[key]) / c
         return True
 
     # -- output -------------------------------------------------------------
