@@ -227,3 +227,142 @@ def bmajor_from_amajor_cols() -> np.ndarray:
             dst = (b * 2 + a) * F
             perm[dst:dst + F] = np.arange(src, src + F)
     return perm
+
+
+# ---------------------------------------------------------------------------
+# Round-4 blocked variant: VMEM-resident f32 accumulators
+# ---------------------------------------------------------------------------
+#
+# Why the row-band kernel above disappoints on-chip (measured 5.9 ms vs
+# ~6 ms dense, PERF.md): at th=16 over the full 960-wide planar row its
+# three f32 accumulators are (16*968, 256) = ~15.9 MB EACH - the entire
+# VMEM budget - so Mosaic spills accumulator traffic to HBM and the 3x
+# MAC reduction buys nothing.  This variant blocks COLUMNS too (2-D
+# grid), sizing every f32 intermediate to ~1 MB so accumulation really
+# stays on-chip, which is the "fused multi-tap matmul whose f32
+# accumulators never leave registers" the round-3 PERF notes called for.
+
+def _kernel_blocked(x_hbm, wc0_ref, wc1_ref, wc2_ref, we_ref, b_ref,
+                    o_ref, s0, s1, sems, *, relu: bool, th: int, wb: int,
+                    nc: int):
+    band = pl.program_id(0)
+    col = pl.program_id(1)
+    i = band * nc + col
+    n = pl.num_programs(0) * nc
+    slots = (s0, s1)
+    wp = s0.shape[1]                    # wb + 16 (halo 2 + alignment 14)
+
+    def dma_for(b, c, slot_idx):
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(b * th, th + 2), pl.ds(c * wb, wp)],
+            slots[slot_idx], sems.at[slot_idx])
+
+    @pl.when(i == 0)
+    def _():
+        dma_for(0, 0, 0).start()
+
+    nxt_band = (i + 1) // nc
+    nxt_col = (i + 1) % nc
+    for parity in (0, 1):
+        @pl.when((i + 1 < n) & ((i + 1) % 2 == parity))
+        def _(parity=parity):
+            dma_for(nxt_band, nxt_col, parity).start()
+
+    for parity in (0, 1):
+        @pl.when(i % 2 == parity)
+        def _(parity=parity):
+            dma_for(band, col, parity).wait()
+
+    def block_slot(slot):
+        dot = functools.partial(jnp.dot,
+                                preferred_element_type=jnp.float32)
+        center = slot[1:1 + th].reshape(th * wp, C4)
+        ep = []
+        for a in range(2):
+            edge = (slot[0:th] if a == 0
+                    else slot[2:2 + th]).reshape(th * wp, C4)
+            lo = (1 - a) * 2 * F
+            ep.append(edge[:, lo:lo + 2 * F])
+        c0 = dot(center, wc0_ref[:])                     # (.., 2F) b=0
+        c1 = dot(center, wc1_ref[:])                     # (.., 4F)
+        c2 = dot(center, wc2_ref[:])                     # (.., 2F) b=1
+        e = [[dot(ep[a], we_ref[a, j]) for j in range(4)]
+             for a in range(2)]
+        zeros2f = jnp.zeros((th * wp, 2 * F), jnp.float32)
+        acc0 = jnp.concatenate(
+            [c0 + jnp.concatenate([e[0][0], e[1][0]], axis=1), zeros2f],
+            axis=1).reshape(th, wp, C4)
+        acc1 = (c1 + jnp.concatenate([e[0][1], e[1][1], e[0][2], e[1][2]],
+                                     axis=1)).reshape(th, wp, C4)
+        acc2 = jnp.concatenate(
+            [zeros2f, c2 + jnp.concatenate([e[0][3], e[1][3]], axis=1)],
+            axis=1).reshape(th, wp, C4)
+        # out col l (block-local) <- input halo cols l, l+1, l+2:
+        # sublane-axis slices instead of the full-width rolls
+        return (acc0[:, 0:wb] + acc1[:, 1:wb + 1] + acc2[:, 2:wb + 2])
+
+    z = jax.lax.cond(i % 2 == 0, lambda: block_slot(s0),
+                     lambda: block_slot(s1))
+    z = z + b_ref[:].astype(jnp.float32)
+    if relu:
+        z = jnp.maximum(z, 0.0)
+    o_ref[:] = z.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("relu", "th", "wb",
+                                             "out_dtype", "interpret"))
+def phase_conv3x3_amajor_blocked(x: jnp.ndarray, k3: jnp.ndarray,
+                                 bias: jnp.ndarray, relu: bool = False,
+                                 th: int = 8, wb: int = 160,
+                                 out_dtype=jnp.bfloat16,
+                                 interpret: bool = False) -> jnp.ndarray:
+    """2-D-blocked `phase_conv3x3_amajor` (same math, same layouts).
+
+    x (1, H, W, 256) A-major planar -> (1, H, W, 256) B-major, equal to
+    `infer/planar.planar_tail_conv` up to layout.  th*wb sizes the f32
+    accumulators: (th*(wb+16), 256) f32 ~ 1.4 MB at the defaults, VMEM-
+    resident with room for the double-buffered input slots.
+    """
+    _, H, W, C = x.shape
+    assert C == C4, C
+    n_bands = -(-H // th)
+    nc = -(-W // wb)
+    wp = wb + 16                       # 2 halo + 14 alignment (16 | wp)
+    pad_h = n_bands * th - H
+    pad_w = nc * wb + wp - 2 - W       # slot for the last col block fits
+    xp = jnp.pad(x[0].astype(jnp.bfloat16),
+                 ((1, 1 + pad_h), (1, 1 + pad_w), (0, 0)))
+    wc0, wc1, wc2, we = _pack_weights(k3)
+    b4 = jnp.tile(bias, 4).reshape(1, 1, C4).astype(jnp.float32)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_blocked, relu=relu, th=th, wb=wb,
+                          nc=nc),
+        grid=(n_bands, nc),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((C4, 2 * F), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C4, C4), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C4, 2 * F), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 4, 2 * F, F), lambda i, j: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, C4), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((th, wb, C4), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_bands * th, nc * wb, C4),
+                                       out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((th + 2, wp, C4), jnp.bfloat16),
+            pltpu.VMEM((th + 2, wp, C4), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(xp, wc0, wc1, wc2, we, b4)
+    return out[None, :H, :W]

@@ -69,3 +69,34 @@ def test_phase_conv_f32_inputs_tight():
         out_dtype=jnp.float32, interpret=True))
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=1e-4)
+
+
+@pytest.mark.parametrize("relu", [False, True])
+def test_phase_conv_blocked_matches_dense(relu):
+    """2-D-blocked variant (VMEM-resident accumulators) vs the XLA dense
+    planar tail conv, odd sizes exercising row+col padding."""
+    from isosurfacesuperresolution_tpu.ops.phase_conv import (
+        phase_conv3x3_amajor_blocked)
+    rng = np.random.RandomState(2)
+    h, w = 11, 21
+    x_c = jnp.asarray((rng.rand(1, h, w, 256) - 0.5).astype(np.float32))
+    k3 = jnp.asarray((rng.rand(3, 3, 64, 64) - 0.5).astype(np.float32)
+                     ) * 0.2
+    bias = jnp.asarray(rng.rand(64).astype(np.float32))
+
+    ref = planar_tail_conv(x_c, k3, bias, jnp.float32)
+    if relu:
+        ref = jax.nn.relu(ref)
+
+    amaj = _amajor_cols(64)
+    x_a = x_c[..., np.asarray(amaj)]
+    got_b = phase_conv3x3_amajor_blocked(
+        x_a.astype(jnp.bfloat16), k3, bias, relu=relu, th=4, wb=8,
+        out_dtype=jnp.float32, interpret=True)
+    got_c = _to_cmajor(got_b)
+    assert got_c.shape == ref.shape
+    d = np.abs(np.asarray(ref) - np.asarray(got_c))
+    assert d.max() < 0.05, d.max()
+    corr = np.corrcoef(np.asarray(ref).ravel(),
+                       np.asarray(got_c).ravel())[0, 1]
+    assert corr > 0.999
