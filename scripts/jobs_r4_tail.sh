@@ -20,3 +20,20 @@ log "tail: gate passed"
 
 run_stage t1_phase_profile 1200 /tmp/r4_phase_profile.log -- \
   python scripts/profile_phase_blocked.py
+
+# t2: adversarial fine-tune ON TOP of the round-4 champion (VERDICT item
+# 6: the reference's gen_l2 -> gen_gan lineage on the SAME family as the
+# 25-cell table).  Runs until round-end preemption; SIGTERM-safe
+# checkpointing banks whatever it reaches for round 5.
+CHAMP=$(cat /tmp/r4_champion 2>/dev/null)
+[ -z "$CHAMP" ] && CHAMP=runs/run00012
+run_stage t2_adv_finetune 5400 /tmp/r4_adv_finetune.log -- \
+  python -m isosurfacesuperresolution_tpu.apps.main_video_unshaded \
+    --dataset analytic:mix4 --numberOfImages 112 \
+    --cameraDistance 0.6,1.3 \
+    --cacheDataset /tmp/isosr_clips_mix4cd \
+    --pretrained "$CHAMP" \
+    --batchSize 8 --remat --dataDtype bfloat16 --samples 2000 \
+    --epochs 60 --lr 2e-5 --lrStep 30 --gradClip 1.0 \
+    --checkpointEvery 5 --advTraining \
+    --losses "l1:mask:5,l1:ao:8,l1:normal:10,l1:depth:10,l1:color:2,temp-l2:color:0.1,gdl:normal:2,gdl:depth:2,adv:all:0.3"
