@@ -114,6 +114,9 @@ def main() -> None:
     ap.add_argument("--split", action="store_true",
                     help="measure with the split row-phase tail conv "
                          "(ModelConfig.planar_split_tail)")
+    ap.add_argument("--phase", action="store_true",
+                    help="post3 via the blocked Pallas phase kernel "
+                         "(ModelConfig.planar_phase_tail)")
     ap.add_argument("--int8", action="store_true",
                     help="int8-PTQ the trunk/post convs "
                          "(ModelConfig.planar_int8)")
@@ -173,6 +176,7 @@ def main() -> None:
 
     cfg = Config(model=ModelConfig(compute_dtype="bfloat16",
                                    planar_split_tail=args.split,
+                                   planar_phase_tail=args.phase,
                                    planar_int8=args.int8))
 
     model = create_network(cfg.model)

@@ -173,6 +173,10 @@ class ModelConfig:
     # full-lane outputs) instead of one dense planar conv
     # (infer/planar.planar_tail_conv_split)
     planar_split_tail: bool = False
+    # planar engine: run post3 through the 2-D-blocked Pallas phase
+    # kernel (minimal-FLOP phase matmuls, VMEM-resident f32 accumulators;
+    # ops/phase_conv.phase_conv3x3_amajor_blocked).  64-feature nets only.
+    planar_phase_tail: bool = False
     # planar engine: post-training int8 quantization of the trunk/post convs
     # (per-output-channel weight scales, dynamic per-tensor activation
     # scales, s8 x s8 -> s32 MXU convs; the final `out` conv and the

@@ -295,12 +295,34 @@ def planar_apply(params: Dict, cfg: ModelConfig, net_in: jnp.ndarray
     # F2: upsample x2 + post2 composed, c-major planar output @540p
     k2 = compose_up2x_conv3x3(p["post2"]["kernel"], cfg.upsample)
     b2 = up2x_conv_bias(p["post2"]["bias"])
+    phase_tail = (bool(getattr(cfg, "planar_phase_tail", False))
+                  and cfg.num_features == 64)   # kernel is 4*64-channel
+    if phase_tail:
+        # fold the c-major -> A-major permutation into F2's output
+        # columns (kernels are tiny; activations are not) so the Pallas
+        # phase kernel's input layout is free
+        amaj = np.asarray(_amajor_cols(cfg.num_features))
+        k2 = k2[..., amaj]
+        b2 = b2[amaj]
     z = jax.nn.relu(_edge_conv(z, k2, b2, dtype=dtype, quant=q8))
 
     # post3 + out: planar convs, c-major in/out, no interleaves.  The
     # split formulation does post3 at 2/3 the dense MACs with full-lane
     # outputs; its channel order folds into the out conv's kernel rows.
-    if getattr(cfg, "planar_split_tail", False):
+    if phase_tail:
+        # post3 via the 2-D-blocked Pallas phase kernel: minimal-FLOP
+        # matmuls with VMEM-resident f32 accumulators (ops/phase_conv).
+        # A-major in (arranged above), B-major out - absorbed by the out
+        # conv's kernel rows.  int8 PTQ does not apply to this path.
+        from isosurfacesuperresolution_tpu.ops.phase_conv import (
+            bmajor_from_amajor_cols, phase_conv3x3_amajor_blocked)
+        z = phase_conv3x3_amajor_blocked(
+            z.astype(jnp.bfloat16), p["post3"]["kernel"],
+            p["post3"]["bias"], relu=True, out_dtype=dtype)
+        comp = amaj[np.asarray(bmajor_from_amajor_cols())]
+        z = planar_tail_conv(z, p["out"]["kernel"], p["out"]["bias"],
+                             dtype, in_perm=comp)
+    elif getattr(cfg, "planar_split_tail", False):
         z, order = planar_tail_conv_split(z, p["post3"]["kernel"],
                                           p["post3"]["bias"], dtype,
                                           quant=q8)

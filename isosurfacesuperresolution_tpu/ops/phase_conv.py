@@ -315,7 +315,8 @@ def phase_conv3x3_amajor_blocked(x: jnp.ndarray, k3: jnp.ndarray,
                                  bias: jnp.ndarray, relu: bool = False,
                                  th: int = 8, wb: int = 160,
                                  out_dtype=jnp.bfloat16,
-                                 interpret: bool = False) -> jnp.ndarray:
+                                 interpret: "bool | None" = None
+                                 ) -> jnp.ndarray:
     """2-D-blocked `phase_conv3x3_amajor` (same math, same layouts).
 
     x (1, H, W, 256) A-major planar -> (1, H, W, 256) B-major, equal to
@@ -323,6 +324,8 @@ def phase_conv3x3_amajor_blocked(x: jnp.ndarray, k3: jnp.ndarray,
     accumulators: (th*(wb+16), 256) f32 ~ 1.4 MB at the defaults, VMEM-
     resident with room for the double-buffered input slots.
     """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     _, H, W, C = x.shape
     assert C == C4, C
     n_bands = -(-H // th)

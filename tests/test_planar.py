@@ -231,3 +231,29 @@ def test_planar_int8_close():
         state_to_flat(planar_apply(params, cfg_qs, x_planar)), 4)
     d = np.abs(np.asarray(y_std) - np.asarray(y_qs))[:, 8:-8, 8:-8]
     assert d.max() < 0.08, d.max()
+
+
+def test_planar_phase_tail_matches_dense():
+    """post3 via the blocked Pallas phase kernel (interpret mode on CPU)
+    must match the dense planar conv to bf16 precision; the A-major
+    input perm folds into F2's kernel and the B-major output perm into
+    the out conv's kernel rows."""
+    import dataclasses
+
+    from isosurfacesuperresolution_tpu.infer.planar import planar_apply
+
+    cfg = ModelConfig(num_residual_blocks=2, compute_dtype="float32")
+    assert cfg.num_features == 64
+    model = create_network(cfg)
+    cin = network_input_channels(cfg)
+    rng = np.random.RandomState(3)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, cin)))
+    x = jnp.asarray(rng.rand(1, 12, 12, cin).astype(np.float32))
+    a = np.asarray(planar_apply(params, cfg, x))
+    b = np.asarray(planar_apply(
+        params, dataclasses.replace(cfg, planar_phase_tail=True), x))
+    # the phase kernel computes post3 in bf16 (its MXU dtype)
+    d = np.abs(a - b)
+    assert d.max() < 0.05, d.max()
+    corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
+    assert corr > 0.999
