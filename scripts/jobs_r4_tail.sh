@@ -37,3 +37,9 @@ run_stage t2_adv_finetune 5400 /tmp/r4_adv_finetune.log -- \
     --epochs 60 --lr 2e-5 --lrStep 30 --gradClip 1.0 \
     --checkpointEvery 5 --advTraining \
     --losses "l1:mask:5,l1:ao:8,l1:normal:10,l1:depth:10,l1:color:2,temp-l2:color:0.1,gdl:normal:2,gdl:depth:2,adv:all:0.3"
+
+# t3: whole-frame A/B of the blocked phase tail (bench.py --phase).
+# --no-preempt: this stage runs INSIDE a queue driver; the default
+# preemption would TERM its own parent.
+run_stage t3_bench_phase 1800 /tmp/r4_bench_phase.log -- \
+  python bench.py --phase --no-ao --no-preempt
