@@ -332,7 +332,10 @@ def phase_conv3x3_amajor_blocked(x: jnp.ndarray, k3: jnp.ndarray,
     nc = -(-W // wb)
     wp = wb + 16                       # 2 halo + 14 alignment (16 | wp)
     pad_h = n_bands * th - H
-    pad_w = nc * wb + wp - 2 - W       # slot for the last col block fits
+    # the last col block (origin (nc-1)*wb) DMAs wp columns; pad exactly
+    # that far (a previous formula over-padded by a whole block when
+    # wb | W, materializing an unread zero stripe)
+    pad_w = (nc - 1) * wb + wp - 2 - W
     xp = jnp.pad(x[0].astype(jnp.bfloat16),
                  ((1, 1 + pad_h), (1, 1 + pad_w), (0, 0)))
     wc0, wc1, wc2, we = _pack_weights(k3)
