@@ -155,6 +155,34 @@ def _upsample1d_linear(a: "np.ndarray", axis: int, n_out: int,
     """Host-side linear upsampling along one axis (cell-center aligned:
     coarse center j+0.5 maps to fine (j+0.5)*factor)."""
     import numpy as np
+    if factor == 2 and n_out == 2 * a.shape[axis]:
+        # Specialized factor-2 path: fixed 0.25/0.75 weights as pure
+        # slice arithmetic.  The general np.take gather below walks a
+        # 17 GB array with axis-strided fancy indexing at 1024^3 and
+        # took ~40 min of 1-core host time (r4_perf_ao1024b.log); this
+        # formulation is plain contiguous passes (~minutes).
+        #   even fine i=2j: pos=j-0.25 -> 0.25*a[j-1] + 0.75*a[j]
+        #   odd  fine i=2j+1: pos=j+0.25 -> 0.75*a[j] + 0.25*a[j+1]
+        # with clamped (constant) extrapolation at both edges.
+        sl = [slice(None)] * a.ndim
+
+        def ax(s):
+            t = list(sl)
+            t[axis] = s
+            return tuple(t)
+
+        prev = np.concatenate([a[ax(slice(0, 1))],
+                               a[ax(slice(None, -1))]], axis=axis)
+        nxt = np.concatenate([a[ax(slice(1, None))],
+                              a[ax(slice(-1, None))]], axis=axis)
+        even = 0.25 * prev + 0.75 * a
+        odd = 0.75 * a + 0.25 * nxt
+        out_shape = list(a.shape)
+        out_shape[axis] = n_out
+        out = np.empty(out_shape, np.float32)
+        out[ax(slice(0, None, 2))] = even
+        out[ax(slice(1, None, 2))] = odd
+        return out
     pos = (np.arange(n_out, dtype=np.float64) + 0.5) / factor - 0.5
     # Clamp the sample position BEFORE deriving index/weight: for fine
     # positions below the first coarse center (pos < 0) the unclamped
@@ -196,13 +224,32 @@ def attach_baked_ao(grid: BrickGrid, isovalue: float, ao_radius_world: float,
 
     radius_vox = float(ao_radius_world) / float(grid.voxel_size[0])
     f = int(downsample)
+
+    def quantize_u8(sh_np):
+        """Global-affine uint8 quantization of the SH field (mirror of
+        the volume's value_scale storage): physical = q * scale + offset.
+        SH-L1 fields are bounded (mean in [0,1], |g| <= 3) and smooth,
+        so the <= step/2 error is far below the bake's own SH-L1
+        approximation error (tests bound it)."""
+        lo = float(sh_np.min())
+        hi = float(sh_np.max())
+        scale = max((hi - lo) / 255.0, 1e-8)
+        q = np.clip(np.round((sh_np - lo) / scale), 0, 255).astype(
+            np.uint8)
+        return q, scale, lo
+
     if f <= 1:
         sh = bake_occlusion_sh(grid.dequant(grid.values), isovalue,
                                radius_vox, num_dirs=num_dirs,
                                num_steps=num_steps)
+        if out_dtype is not None and np.dtype(out_dtype) == np.uint8:
+            q, scale, lo = quantize_u8(np.asarray(sh, np.float32))
+            return dataclasses.replace(grid, ao_sh=jnp.asarray(q),
+                                       ao_scale=scale, ao_offset=lo)
         if out_dtype is not None:
             sh = sh.astype(out_dtype)
-        return dataclasses.replace(grid, ao_sh=sh)
+        return dataclasses.replace(grid, ao_sh=sh,
+                                   ao_scale=1.0, ao_offset=0.0)
 
     X, Y, Z = grid.values.shape
     if X % f or Y % f or Z % f:
@@ -236,6 +283,11 @@ def attach_baked_ao(grid: BrickGrid, isovalue: float, ao_radius_world: float,
     del sh, ds
     for axis, n in ((0, X), (1, Y), (2, Z)):
         sh_np = _upsample1d_linear(sh_np, axis, n, f)
+    if out_dtype is not None and np.dtype(out_dtype) == np.uint8:
+        q, scale, lo = quantize_u8(sh_np)
+        return dataclasses.replace(grid, ao_sh=jnp.asarray(q),
+                                   ao_scale=scale, ao_offset=lo)
     if out_dtype is not None:
         sh_np = sh_np.astype(np.dtype(out_dtype))  # bf16 via ml_dtypes
-    return dataclasses.replace(grid, ao_sh=jnp.asarray(sh_np))
+    return dataclasses.replace(grid, ao_sh=jnp.asarray(sh_np),
+                               ao_scale=1.0, ao_offset=0.0)

@@ -168,9 +168,17 @@ def _sweep_permuted(values: jnp.ndarray,      # (X, Y, Z) permuted volume
                        preferred_element_type=jnp.float32)
 
     def resample_ao_slice(lam, zf, fz):
-        sl = ((1.0 - fz) * jax.lax.dynamic_slice_in_dim(ao_field, zf, 1, 2)
-              + fz * jax.lax.dynamic_slice_in_dim(ao_field, zf + 1, 1, 2)
-              )[:, :, 0, :]                                # (X, Y, 4)
+        a0 = jax.lax.dynamic_slice_in_dim(ao_field, zf, 1, 2
+                                          ).astype(jnp.float32)
+        a1 = jax.lax.dynamic_slice_in_dim(ao_field, zf + 1, 1, 2
+                                          ).astype(jnp.float32)
+        sl = ((1.0 - fz) * a0 + fz * a1)[:, :, 0, :]       # (X, Y, 4)
+        # affine dequant of uint8-quantized AO fields (lerp commutes
+        # with the affine map, mirroring the density path above)
+        if grid.ao_scale != 1.0:
+            sl = sl * jnp.float32(grid.ao_scale)
+        if grid.ao_offset != 0.0:
+            sl = sl + jnp.float32(grid.ao_offset)
         wx, wy = slice_weights(lam)
         tmp = jnp.einsum("sx,xyc->syc", wx, sl,
                          preferred_element_type=jnp.float32)
@@ -277,13 +285,23 @@ def _sweep_permuted(values: jnp.ndarray,      # (X, Y, Z) permuted volume
                 sh = ao_capture_tiled(ao_zcxy, meta, s_grid, t_grid,
                                       Sn, Tn, m_hit, brick_max_p,
                                       grid.brick_size, iso,
-                                      dtype=mm_dtype)
+                                      dtype=mm_dtype,
+                                      ao_scale=grid.ao_scale,
+                                      ao_offset=grid.ao_offset)
                 sh_hit = jnp.transpose(sh, (1, 2, 0))
             else:
                 sh_hit = zero4
         else:
             vol_zxy = jnp.transpose(values, (2, 0, 1))
-            ao_zcxy = (jnp.transpose(ao_field, (2, 3, 0, 1))
+            ao_deq = ao_field
+            if use_volume_ao and ao_field.dtype == jnp.uint8:
+                # flat (small-volume) kernel has no AO affine plumbing;
+                # dequantize up front - fields below the 512^3 tiled
+                # threshold are <= 0.5 GB
+                ao_deq = (ao_field.astype(jnp.float32)
+                          * jnp.float32(grid.ao_scale)
+                          + jnp.float32(grid.ao_offset))
+            ao_zcxy = (jnp.transpose(ao_deq, (2, 3, 0, 1))
                        if use_volume_ao else None)
             res = march_pallas(
                 vol_zxy, meta, s_grid, t_grid, Sn, Tn, dtype=mm_dtype,

@@ -346,7 +346,9 @@ def march_pallas_tiled(vol_zxy: jnp.ndarray,      # (Z, X, Y) slice-major
 def _ao_capture_kernel(*refs,
                        Sn: int, Tn: int,
                        TX: int, TY: int, NTY: int, P: int, mm_dtype,
-                       packed: bool = False):
+                       packed: bool = False,
+                       ao_scale: float = 1.0, ao_offset: float = 0.0,
+                       quantized: bool = False):
     """Pass-2 baked-AO capture at the hit plane (tiled).
 
     Runs AFTER the density march with ``m_hit`` as an input: for slice k,
@@ -429,8 +431,20 @@ def _ao_capture_kernel(*refs,
                 pid = pairs_ref[0, 0, i]
                 xt = pid // NTY
                 yt = pid - xt * NTY
-                asl = ((1.0 - fz) * slot[0].astype(jnp.float32)
-                       + fz * slot[1].astype(jnp.float32))  # (4, TX, TY)
+
+                def to_f32(s):
+                    # Mosaic has no direct uint8->f32 convert (same
+                    # blocker as the density kernels): hop through int32
+                    if quantized:
+                        return s.astype(jnp.int32).astype(jnp.float32)
+                    return s.astype(jnp.float32)
+
+                asl = ((1.0 - fz) * to_f32(slot[0])
+                       + fz * to_f32(slot[1]))              # (4, TX, TY)
+                if ao_scale != 1.0:
+                    asl = asl * jnp.float32(ao_scale)
+                if ao_offset != 0.0:
+                    asl = asl + jnp.float32(ao_offset)
                 s_pos = eye_s + lam * (sg_ref[0, :] - eye_s)
                 t_pos = eye_t + lam * (tg_ref[0, :] - eye_t)
                 jx = (jax.lax.broadcasted_iota(jnp.int32, (Sn, TX), 1)
@@ -505,7 +519,8 @@ def ao_capture_tiled(ao_zcxy: jnp.ndarray,        # (Z, 4, X, Y) baked SH
                      iso,
                      tile: int = 128,
                      interpret: "bool | None" = None,
-                     dtype=jnp.bfloat16):
+                     dtype=jnp.bfloat16,
+                     ao_scale: float = 1.0, ao_offset: float = 0.0):
     """Occupancy-gated tiled AO capture; returns sh (4, Sn, Tn) f32.
 
     Equivalent to the flat kernel's in-march AO path
@@ -535,10 +550,16 @@ def ao_capture_tiled(ao_zcxy: jnp.ndarray,        # (Z, 4, X, Y) baked SH
     pairs, counts, ybits = _pair_lists(occ, meta, K, P)
     del ybits  # second factor runs per pair; no column-tile loop
 
+    quantized = ao_zcxy.dtype == jnp.uint8
+    # uint8 fields stay uint8 end-to-end (HBM + DMA slabs); casting the
+    # whole field to bf16 here is what doubled HBM at 1024^3
+    slab_dtype = ao_zcxy.dtype if quantized else dtype
+    field = ao_zcxy if quantized else ao_zcxy.astype(dtype)
     sh = pl.pallas_call(
         functools.partial(_ao_capture_kernel, Sn=Sn, Tn=Tn,
                           TX=TX, TY=TY, NTY=NTY, P=P, mm_dtype=dtype,
-                          packed=False),
+                          packed=False, ao_scale=ao_scale,
+                          ao_offset=ao_offset, quantized=quantized),
         grid=(K,),
         in_specs=[
             pl.BlockSpec((1, 1, 8), lambda k: (k, 0, 0),
@@ -558,12 +579,12 @@ def ao_capture_tiled(ao_zcxy: jnp.ndarray,        # (Z, 4, X, Y) baked SH
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((4, Sn, Tn), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, 4, TX, TY), dtype),
-            pltpu.VMEM((2, 4, TX, TY), dtype),
+            pltpu.VMEM((2, 4, TX, TY), slab_dtype),
+            pltpu.VMEM((2, 4, TX, TY), slab_dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(meta[:, None], counts, pairs[:, None], ao_zcxy.astype(dtype), m_hit,
+    )(meta[:, None], counts, pairs[:, None], field, m_hit,
       s_grid[None], t_grid[None])
     return sh
 

@@ -64,18 +64,28 @@ class BrickGrid:
     # constants into the sampling code.
     value_scale: float = 1.0
     value_offset: float = 0.0
+    # same affine compact storage for the baked AO field: ``ao_sh`` may
+    # be uint8 (physical = stored * ao_scale + ao_offset).  At 1024^3
+    # the bf16 field is 8.6 GB and the renderer's per-axis transpose
+    # copy pushed the render compile out of HBM (r4_perf_ao1024b.log);
+    # uint8 halves both, with the dequant applied per-slice/tile in the
+    # samplers exactly like value_scale.
+    ao_scale: float = 1.0
+    ao_offset: float = 0.0
 
     # -- pytree protocol ----------------------------------------------------
     def tree_flatten(self):
         children = (self.values, self.brick_min, self.brick_max,
                     self.bbox_min, self.bbox_max, self.ao_sh)
         return children, (self.brick_size, self.value_scale,
-                          self.value_offset)
+                          self.value_offset, self.ao_scale,
+                          self.ao_offset)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children[:5], brick_size=aux[0], ao_sh=children[5],
-                   value_scale=aux[1], value_offset=aux[2])
+                   value_scale=aux[1], value_offset=aux[2],
+                   ao_scale=aux[3], ao_offset=aux[4])
 
     # -- compact storage -----------------------------------------------------
     def dequant(self, stored: jnp.ndarray) -> jnp.ndarray:

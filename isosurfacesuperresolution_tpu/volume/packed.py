@@ -301,6 +301,12 @@ class SparseBrickGrid:
         per_axis = []
         ao_per_axis = [] if grid.ao_sh is not None else None
         ao = (np.asarray(grid.ao_sh) if grid.ao_sh is not None else None)
+        if ao is not None and ao.dtype == np.uint8:
+            # quantized field (grid.ao_scale/ao_offset): dequantize on
+            # the host before packing - the packed-atlas kernels stream
+            # at their matmul dtype and carry no affine
+            ao = (ao.astype(np.float32) * np.float32(grid.ao_scale)
+                  + np.float32(grid.ao_offset))
         for perm in SWEEP_PERMS:
             vol_p = np.transpose(stored, perm)          # (X', Y', Z')
             vol_zxy = np.ascontiguousarray(

@@ -89,12 +89,19 @@ def bench_res(res: int, family: str, N: int, sparse: bool = False,
         from isosurfacesuperresolution_tpu.render.ao_sweep import (
             attach_baked_ao)
         tb = time.time()
+        # >512^3: half-res bake + uint8-quantized field - the bf16 field
+        # (8.6 GB at 1024^3) plus the renderer's per-axis transpose copy
+        # exceeded HBM (r4_perf_ao1024b.log); uint8 halves both and the
+        # capture kernel dequantizes per tile
+        import numpy as _np
         grid = attach_baked_ao(grid, 0.36, 0.2,
                                downsample=(2 if res > 512 else 1),
-                               out_dtype=jnp.bfloat16)
+                               out_dtype=(_np.uint8 if res > 512
+                                          else jnp.bfloat16))
         print(f"[{res}^3] AO bake {time.time() - tb:.0f}s "
               f"({'half-res+upsample' if res > 512 else 'full-res'}, "
-              f"bf16 field {grid.ao_sh.nbytes / 1e6:.0f} MB)",
+              f"{grid.ao_sh.dtype} field "
+              f"{grid.ao_sh.nbytes / 1e6:.0f} MB)",
               file=sys.stderr)
         store += "+ao"
     if sparse:

@@ -1,6 +1,8 @@
-# Round-4 tail v2: champion adversarial fine-tune with whatever chip
-# time remains after the eval3 pipeline (VERDICT item 6's gen_l2 ->
-# gen_gan lineage).  SIGTERM-safe; whatever it reaches is banked.
+# Round-4 tail v3 (replaces tail2): after the eval3 pipeline,
+# 1) retry the 1024^3+AO measurement with the uint8-quantized field +
+#    factor-2 fast host upsample (the bf16 field's transpose copy OOM'd
+#    the render compile in h0; see render/ao_sweep.py, grid.ao_scale),
+# 2) adversarial fine-tune of the champion until round-end preemption.
 
 until grep -q "QUEUE jobs_r4_eval3.sh DONE" "$S" 2>/dev/null; do
   alive=0
@@ -11,12 +13,15 @@ until grep -q "QUEUE jobs_r4_eval3.sh DONE" "$S" 2>/dev/null; do
     kill -0 "$p" 2>/dev/null && alive=1
   done
   if [ "$alive" = 0 ]; then
-    log "tail2: eval3 driver gone without DONE marker; proceeding"
+    log "tail3: eval3 driver gone without DONE marker; proceeding"
     break
   fi
   sleep 60
 done
-log "tail2: gate passed"
+log "tail3: gate passed"
+
+run_stage r1_ao_retry_1024 2700 /tmp/r4_perf_ao1024c.log -- \
+  python scripts/bench_volumes.py --res 1024 --frames 10 --ao
 
 CHAMP=$(cat /tmp/r4_champion 2>/dev/null)
 [ -z "$CHAMP" ] && CHAMP=runs/run00012

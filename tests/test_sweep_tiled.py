@@ -93,3 +93,46 @@ def test_tiled_ao_matches_flat_kernel():
     assert ref[..., 10][both].std() > 1e-3
     d = np.abs(ref[..., 10] - got[..., 10])[both]
     assert d.max() < 1e-3, float(d.max())
+
+
+def test_tiled_ao_uint8_quantized_field():
+    """uint8-quantized AO field (grid.ao_scale/ao_offset) through the
+    tiled pass-2 capture matches the bf16/f32 field to quantization
+    precision - the storage mode that makes 1024^3+AO fit in HBM (the
+    bf16 field + its per-axis transpose copy OOM'd the render compile,
+    artifacts/logs/r4_perf_ao1024b.log)."""
+    import numpy as _np
+
+    from isosurfacesuperresolution_tpu.render.ao_sweep import (
+        attach_baked_ao)
+    grid0 = analytic.blobs_volume(48, num_blobs=5)
+    gf = attach_baked_ao(grid0, 0.5, 0.1)
+    gq = attach_baked_ao(grid0, 0.5, 0.1, out_dtype=_np.uint8)
+    assert str(gq.ao_sh.dtype) == 'uint8'
+    # dequantized field matches to half a quantization step
+    deq = (np.asarray(gq.ao_sh, np.float32) * gq.ao_scale
+           + gq.ao_offset)
+    d = np.abs(deq - np.asarray(gf.ao_sh, np.float32))
+    assert d.max() <= gq.ao_scale * 0.5 + 1e-6
+
+    cam = CameraParams.create((0.2, 0.7, -1.6))
+    cfg = RenderConfig(width=32, height=24, isovalue=0.5, ao_samples=16,
+                       ao_mode="volume", sweep_dtype="float32",
+                       renderer="sweep_pallas", sweep_tile=16)
+    ref = np.asarray(render_gbuffer_sweep(gf, cam, cam, cfg))
+    got = np.asarray(render_gbuffer_sweep(gq, cam, cam, cfg))
+    both = (ref[..., 3] > 0.5) & (got[..., 3] > 0.5)
+    assert both.sum() >= 20
+    assert ref[..., 10][both].std() > 1e-3
+    d = np.abs(ref[..., 10] - got[..., 10])[both]
+    # a few quantization steps through the SH->AO evaluation
+    assert d.max() < 6 * gq.ao_scale, float(d.max())
+
+    # scan renderer consumes the same quantized field (resample_ao_slice
+    # affine path)
+    cfg_scan = dataclasses.replace(cfg, renderer="sweep", sweep_tile=0)
+    ref_s = np.asarray(render_gbuffer_sweep(gf, cam, cam, cfg_scan))
+    got_s = np.asarray(render_gbuffer_sweep(gq, cam, cam, cfg_scan))
+    both = (ref_s[..., 3] > 0.5) & (got_s[..., 3] > 0.5)
+    d = np.abs(ref_s[..., 10] - got_s[..., 10])[both]
+    assert d.max() < 6 * gq.ao_scale, float(d.max())
