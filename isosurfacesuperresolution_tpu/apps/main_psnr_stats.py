@@ -155,6 +155,14 @@ def main(argv=None):
                 err_rows.append((name, stats.seq_spread()))
                 np.savez(os.path.join(
                     args.output, f"hist_{vol_name}_{name}.npz"),
+                    # per-sequence per-field means ride along so model
+                    # comparisons can be PAIRED (same sequences for
+                    # every model; the marginal stds in _err.tsv are
+                    # conservative for A-vs-B questions)
+                    **{f"seq_{k}": np.array([m[k] for m in
+                                             stats.seq_means])
+                       for k in (stats.seq_means[0] if stats.seq_means
+                                 else {})},
                     **stats.histograms)
                 m = stats.means()
                 print(f"[{vol_name}] {name}: "
