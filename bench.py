@@ -122,6 +122,13 @@ def main() -> None:
                          "(ModelConfig.planar_int8)")
     ap.add_argument("--no-ao", action="store_true",
                     help="skip the AO-enabled variant (faster A/B runs)")
+    ap.add_argument("--features", type=int, default=64,
+                    help="EnhanceNet trunk width (the quality-neutral "
+                         "network-cost sweep, VERDICT r4 item 5; speed "
+                         "is width-dependent, not weight-dependent, so "
+                         "random init measures the real frame cost)")
+    ap.add_argument("--blocks", type=int, default=10,
+                    help="EnhanceNet residual block count (same sweep)")
     ap.add_argument("--no-preempt", action="store_true",
                     help="do not kill background tpu_queue drivers that "
                          "hold the single-client TPU tunnel")
@@ -177,7 +184,9 @@ def main() -> None:
     cfg = Config(model=ModelConfig(compute_dtype="bfloat16",
                                    planar_split_tail=args.split,
                                    planar_phase_tail=args.phase,
-                                   planar_int8=args.int8))
+                                   planar_int8=args.int8,
+                                   num_features=args.features,
+                                   num_residual_blocks=args.blocks))
 
     model = create_network(cfg.model)
     cin = network_input_channels(cfg.model)

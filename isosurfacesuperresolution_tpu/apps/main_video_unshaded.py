@@ -54,6 +54,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="spectral normalization in the generator and "
                         "discriminator (reference --useSN / apply_sn)")
     p.add_argument("--numResidualLayers", type=int, default=10)
+    p.add_argument("--numFeatures", type=int, default=64,
+                   help="trunk feature width (the reference hardcodes "
+                        "64, enhancenet.py:92-145; exposed here for the "
+                        "quality-vs-frame-cost width sweep)")
     p.add_argument("--upscaleFactor", type=int, default=4)
     p.add_argument("--computeDtype", type=str, default="float32")
     # training (reference :57-69)
@@ -159,6 +163,7 @@ def make_config(args) -> "Config":
             upsample=args.upsample, recon_type=args.reconType,
             use_bn=args.useBN, use_sn=args.useSN,
             num_residual_blocks=args.numResidualLayers,
+            num_features=args.numFeatures,
             compute_dtype=args.computeDtype),
         loss=LossConfig(
             losses=args.losses,

@@ -144,7 +144,14 @@ class Statistics:
             def p(a, b):
                 return psnr(a, b, mask=mask)[0]
 
-            # SSIM with pred blended onto gt outside the mask (:222)
+            # pred blended onto gt outside the mask (:222).  The
+            # reference REASSIGNS pred_mnda to this blend before the
+            # downsample-consistency loss and the mask/normal/depth/ao
+            # histograms (mainPSNR3_AllStats.py:222-266), so everything
+            # below the SSIM block uses pred_b, not the raw prediction
+            # (round-4 advisor parity finding).  The shaded colors were
+            # computed from the raw prediction above, matching the
+            # reference's ordering.
             pred_b = gt_mnda_c + mask * (pred_mnda_c - gt_mnda_c)
 
             def s(a, b):
@@ -153,11 +160,11 @@ class Statistics:
                 # :34-42): 2 for [-1,1] normals, 1 for depth/AO/color
                 return msssim(a, b, val_range=None)
 
-            # downsample-consistency (:229-239)
+            # downsample-consistency (:229-239), on the blended pred
             ds = lambda x: resize(x, scale=1.0 / upscaling,
                                   method="bilinear")
             ds_normal = (input_mnda_c[..., 1:4]
-                         - safe_normalize(ds(pred_mnda_c[..., 1:4]))) ** 2
+                         - safe_normalize(ds(pred_b[..., 1:4]))) ** 2
             ds_color = (input_color_noAO - ds(pred_color_noAO)) ** 2
 
             means = jnp.stack([                      # _MEAN_FIELDS order
@@ -184,11 +191,11 @@ class Statistics:
                     diff.ravel(), bins=NUM_BINS, range=(0, 1))[0]
 
             hists = jnp.stack([                      # _HIST_KEYS order
-                h(jnp.abs(gt_mnda_c[0, ..., 0] - pred_mnda_c[0, ..., 0])),
+                h(jnp.abs(gt_mnda_c[0, ..., 0] - pred_b[0, ..., 0])),
                 h(jnp.sum(jnp.abs(gt_mnda_c[0, ..., 1:4]
-                                  - pred_mnda_c[0, ..., 1:4]), -1) / 6),
-                h(jnp.abs(gt_mnda_c[0, ..., 4] - pred_mnda_c[0, ..., 4])),
-                h(jnp.abs(gt_mnda_c[0, ..., 5] - pred_mnda_c[0, ..., 5])),
+                                  - pred_b[0, ..., 1:4]), -1) / 6),
+                h(jnp.abs(gt_mnda_c[0, ..., 4] - pred_b[0, ..., 4])),
+                h(jnp.abs(gt_mnda_c[0, ..., 5] - pred_b[0, ..., 5])),
                 h(jnp.abs(gt_color_withAO[0, ..., 0]
                           - pred_color_withAO[0, ..., 0])),
                 h(jnp.abs(gt_color_noAO[0, ..., 0]

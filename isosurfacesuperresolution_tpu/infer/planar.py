@@ -313,7 +313,15 @@ def planar_apply(params: Dict, cfg: ModelConfig, net_in: jnp.ndarray
         # post3 via the 2-D-blocked Pallas phase kernel: minimal-FLOP
         # matmuls with VMEM-resident f32 accumulators (ops/phase_conv).
         # A-major in (arranged above), B-major out - absorbed by the out
-        # conv's kernel rows.  int8 PTQ does not apply to this path.
+        # conv's kernel rows.  int8 PTQ does not apply to this path -
+        # refuse the combination rather than silently benchmarking a
+        # mixed configuration (round-4 advisor finding)
+        if q8 is not None:
+            raise ValueError(
+                "planar_phase_tail and planar_int8 are mutually "
+                "exclusive: the Pallas phase kernel has no int8 path, "
+                "so post3 would run unquantized and the A/B would "
+                "measure a mislabeled mixed configuration")
         from isosurfacesuperresolution_tpu.ops.phase_conv import (
             bmajor_from_amajor_cols, phase_conv3x3_amajor_blocked)
         z = phase_conv3x3_amajor_blocked(

@@ -204,18 +204,23 @@ def _upsample1d_linear(a: "np.ndarray", axis: int, n_out: int,
 def attach_baked_ao(grid: BrickGrid, isovalue: float, ao_radius_world: float,
                     num_dirs: int = 32, num_steps: int = 12,
                     downsample: int = 1,
-                    out_dtype=None) -> BrickGrid:
+                    out_dtype=None,
+                    keep_coarse: bool = False) -> BrickGrid:
     """Return a copy of ``grid`` carrying the baked SH occlusion field.
 
     ``ao_radius_world`` is the renderer's world-space AO radius
     (RenderConfig.ao_radius); it converts to voxels via the grid transform.
 
-    ``downsample`` > 1 bakes at reduced resolution and upsamples the SH
-    field back (on the host - the fine f32 field would not fit HBM at
-    1024^3): occlusion is a hemisphere integral, inherently low-frequency,
-    so a half-res bake loses almost nothing while cutting the bake's
-    dense-f32 working set 8x.  This is what makes 1024^3 + AO fit on one
-    chip (the full-res bake carries ~6 dense f32 copies = 26 GB there).
+    ``downsample`` > 1 bakes at reduced resolution: occlusion is a
+    hemisphere integral, inherently low-frequency, so a half-res bake
+    loses almost nothing while cutting the bake's dense-f32 working set
+    8x.  This is what makes 1024^3 + AO fit on one chip (the full-res
+    bake carries ~6 dense f32 copies = 26 GB there).  By default the
+    coarse field is linearly upsampled back on the host;
+    ``keep_coarse=True`` instead attaches the coarse field itself with
+    ``ao_downsample=f`` - the tiled capture kernel samples it directly
+    (quarter the pass-2 work and 1/f^3 the field HBM at f=2, with
+    byte-identical information content: the upsample added none).
     ``out_dtype`` (e.g. jnp.bfloat16) quantizes the attached field; the
     sweep kernels stream it at their matmul dtype anyway.
     """
@@ -226,17 +231,21 @@ def attach_baked_ao(grid: BrickGrid, isovalue: float, ao_radius_world: float,
     f = int(downsample)
 
     def quantize_u8(sh_np):
-        """Global-affine uint8 quantization of the SH field (mirror of
-        the volume's value_scale storage): physical = q * scale + offset.
-        SH-L1 fields are bounded (mean in [0,1], |g| <= 3) and smooth,
-        so the <= step/2 error is far below the bake's own SH-L1
-        approximation error (tests bound it)."""
-        lo = float(sh_np.min())
-        hi = float(sh_np.max())
-        scale = max((hi - lo) / 255.0, 1e-8)
+        """Per-channel affine uint8 quantization of the SH field (mirror
+        of the volume's value_scale storage): physical[..., c] =
+        q[..., c] * scale[c] + offset[c].  Per-channel because the
+        directional coefficients g have a much smaller dynamic range
+        than the mean channel - one global scale wastes most of their
+        uint8 steps (round-4 advisor finding).  SH-L1 fields are bounded
+        and smooth, so the <= step/2 error is far below the bake's own
+        SH-L1 approximation error (tests bound it)."""
+        lo = sh_np.min(axis=(0, 1, 2))
+        hi = sh_np.max(axis=(0, 1, 2))
+        scale = np.maximum((hi - lo) / 255.0, 1e-8)
         q = np.clip(np.round((sh_np - lo) / scale), 0, 255).astype(
             np.uint8)
-        return q, scale, lo
+        return q, tuple(float(s) for s in scale), tuple(float(v)
+                                                        for v in lo)
 
     if f <= 1:
         sh = bake_occlusion_sh(grid.dequant(grid.values), isovalue,
@@ -245,11 +254,13 @@ def attach_baked_ao(grid: BrickGrid, isovalue: float, ao_radius_world: float,
         if out_dtype is not None and np.dtype(out_dtype) == np.uint8:
             q, scale, lo = quantize_u8(np.asarray(sh, np.float32))
             return dataclasses.replace(grid, ao_sh=jnp.asarray(q),
-                                       ao_scale=scale, ao_offset=lo)
+                                       ao_scale=scale, ao_offset=lo,
+                                       ao_downsample=1)
         if out_dtype is not None:
             sh = sh.astype(out_dtype)
         return dataclasses.replace(grid, ao_sh=sh,
-                                   ao_scale=1.0, ao_offset=0.0)
+                                   ao_scale=1.0, ao_offset=0.0,
+                                   ao_downsample=1)
 
     X, Y, Z = grid.values.shape
     if X % f or Y % f or Z % f:
@@ -281,13 +292,17 @@ def attach_baked_ao(grid: BrickGrid, isovalue: float, ao_radius_world: float,
                            num_dirs=num_dirs, num_steps=num_steps)
     sh_np = np.asarray(sh, np.float32)
     del sh, ds
-    for axis, n in ((0, X), (1, Y), (2, Z)):
-        sh_np = _upsample1d_linear(sh_np, axis, n, f)
+    if not keep_coarse:
+        for axis, n in ((0, X), (1, Y), (2, Z)):
+            sh_np = _upsample1d_linear(sh_np, axis, n, f)
+    fd = f if keep_coarse else 1
     if out_dtype is not None and np.dtype(out_dtype) == np.uint8:
         q, scale, lo = quantize_u8(sh_np)
         return dataclasses.replace(grid, ao_sh=jnp.asarray(q),
-                                   ao_scale=scale, ao_offset=lo)
+                                   ao_scale=scale, ao_offset=lo,
+                                   ao_downsample=fd)
     if out_dtype is not None:
         sh_np = sh_np.astype(np.dtype(out_dtype))  # bf16 via ml_dtypes
     return dataclasses.replace(grid, ao_sh=jnp.asarray(sh_np),
-                               ao_scale=1.0, ao_offset=0.0)
+                               ao_scale=1.0, ao_offset=0.0,
+                               ao_downsample=fd)

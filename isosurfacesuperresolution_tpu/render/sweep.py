@@ -83,6 +83,34 @@ def _sweep_permuted(values: jnp.ndarray,      # (X, Y, Z) permuted volume
         Z, X, Y = packed_axis.shape
     else:
         X, Y, Z = values.shape
+
+    # baked-AO field storage parameters (grid.ao_* may be per-channel
+    # tuples); coarse fields (ao_downsample > 1) are sampled natively by
+    # the tiled capture kernel - every other AO path gets a dequantized
+    # on-device upsample here (those paths only run for small volumes
+    # and CPU tests, where the fine f32 field is cheap)
+    # (getattr: the packed path passes a SparseBrickGrid here, which
+    # carries no dense-field affine/downsample - its atlas is packed
+    # dequantized at full resolution)
+    ao_scale = getattr(grid, "ao_scale", 1.0)
+    ao_offset = getattr(grid, "ao_offset", 0.0)
+    ao_fd = getattr(grid, "ao_downsample", 1)
+    if ao_field is not None and ao_fd > 1:
+        tiled_capture = (cfg.renderer == "sweep_pallas"
+                         and packed_axis is None
+                         and (cfg.sweep_tile > 0
+                              or (cfg.sweep_tile == 0
+                                  and max(X, Y) >= 512)))
+        if not tiled_capture:
+            f32 = ao_field.astype(jnp.float32)
+            if ao_scale != 1.0:
+                f32 = f32 * jnp.asarray(ao_scale, jnp.float32)
+            if ao_offset != 0.0:
+                f32 = f32 + jnp.asarray(ao_offset, jnp.float32)
+            # jax.image.resize 'linear' uses the same half-pixel
+            # (cell-centered) convention as the samplers
+            ao_field = jax.image.resize(f32, (X, Y, Z, 4), "linear")
+            ao_scale, ao_offset, ao_fd = 1.0, 0.0, 1
     zss = cfg.sweep_z_supersample
     K = Z * zss
     Sn = int(round(W * cfg.sweep_oversample))
@@ -174,11 +202,12 @@ def _sweep_permuted(values: jnp.ndarray,      # (X, Y, Z) permuted volume
                                           ).astype(jnp.float32)
         sl = ((1.0 - fz) * a0 + fz * a1)[:, :, 0, :]       # (X, Y, 4)
         # affine dequant of uint8-quantized AO fields (lerp commutes
-        # with the affine map, mirroring the density path above)
-        if grid.ao_scale != 1.0:
-            sl = sl * jnp.float32(grid.ao_scale)
-        if grid.ao_offset != 0.0:
-            sl = sl + jnp.float32(grid.ao_offset)
+        # with the affine map, mirroring the density path above);
+        # scale/offset may be per-channel (4,) vectors
+        if ao_scale != 1.0:
+            sl = sl * jnp.asarray(ao_scale, jnp.float32)
+        if ao_offset != 0.0:
+            sl = sl + jnp.asarray(ao_offset, jnp.float32)
         wx, wy = slice_weights(lam)
         tmp = jnp.einsum("sx,xyc->syc", wx, sl,
                          preferred_element_type=jnp.float32)
@@ -280,14 +309,16 @@ def _sweep_permuted(values: jnp.ndarray,      # (X, Y, Z) permuted volume
             if use_volume_ao:
                 # pass-2 AO capture from m_hit: the flat kernel's in-march
                 # AO slabs (2, 4, X, Y) exceed VMEM at 1024^3; the tiled
-                # capture windows the field at (2, 4, TX, TY)
+                # capture windows the field at (2, 4, TX, TY), sampling
+                # coarse (ao_downsample > 1) fields natively
                 ao_zcxy = jnp.transpose(ao_field, (2, 3, 0, 1))
                 sh = ao_capture_tiled(ao_zcxy, meta, s_grid, t_grid,
                                       Sn, Tn, m_hit, brick_max_p,
                                       grid.brick_size, iso,
                                       dtype=mm_dtype,
-                                      ao_scale=grid.ao_scale,
-                                      ao_offset=grid.ao_offset)
+                                      ao_scale=ao_scale,
+                                      ao_offset=ao_offset,
+                                      field_downsample=ao_fd)
                 sh_hit = jnp.transpose(sh, (1, 2, 0))
             else:
                 sh_hit = zero4
@@ -297,10 +328,11 @@ def _sweep_permuted(values: jnp.ndarray,      # (X, Y, Z) permuted volume
             if use_volume_ao and ao_field.dtype == jnp.uint8:
                 # flat (small-volume) kernel has no AO affine plumbing;
                 # dequantize up front - fields below the 512^3 tiled
-                # threshold are <= 0.5 GB
+                # threshold are <= 0.5 GB (scale/offset may be
+                # per-channel (4,) vectors)
                 ao_deq = (ao_field.astype(jnp.float32)
-                          * jnp.float32(grid.ao_scale)
-                          + jnp.float32(grid.ao_offset))
+                          * jnp.asarray(ao_scale, jnp.float32)
+                          + jnp.asarray(ao_offset, jnp.float32))
             ao_zcxy = (jnp.transpose(ao_deq, (2, 3, 0, 1))
                        if use_volume_ao else None)
             res = march_pallas(

@@ -347,8 +347,9 @@ def _ao_capture_kernel(*refs,
                        Sn: int, Tn: int,
                        TX: int, TY: int, NTY: int, P: int, mm_dtype,
                        packed: bool = False,
-                       ao_scale: float = 1.0, ao_offset: float = 0.0,
-                       quantized: bool = False):
+                       ao_scale=1.0, ao_offset=0.0,
+                       quantized: bool = False,
+                       inv_f: float = 1.0):
     """Pass-2 baked-AO capture at the hit plane (tiled).
 
     Runs AFTER the density march with ``m_hit`` as an input: for slice k,
@@ -358,6 +359,14 @@ def _ao_capture_kernel(*refs,
     surface are touched.  The second resample factor runs per PAIR (not
     per column tile): hit slices are few, so the extra (Sn,TY)x(TY,Tn)
     matmuls cost less than a (4, Sn, Y) row accumulator's VMEM.
+
+    ``inv_f`` < 1 samples a COARSE field (stored at 1/f resolution per
+    axis): with both conventions cell-centered, the fine sample position
+    p maps to coarse interpolation coordinate p * inv_f exactly (coarse
+    voxel j's center sits at fine (j + 0.5) * f), so the only kernel
+    change is this one scale on the hit positions; the caller rewrites
+    the meta z columns the same way.  ``ao_scale``/``ao_offset`` may be
+    scalars or per-channel 4-tuples (compile-time constants either way).
     """
     if packed:
         (meta_ref, count_ref, pairs_ref,
@@ -441,12 +450,10 @@ def _ao_capture_kernel(*refs,
 
                 asl = ((1.0 - fz) * to_f32(slot[0])
                        + fz * to_f32(slot[1]))              # (4, TX, TY)
-                if ao_scale != 1.0:
-                    asl = asl * jnp.float32(ao_scale)
-                if ao_offset != 0.0:
-                    asl = asl + jnp.float32(ao_offset)
-                s_pos = eye_s + lam * (sg_ref[0, :] - eye_s)
-                t_pos = eye_t + lam * (tg_ref[0, :] - eye_t)
+                s_pos = (eye_s + lam * (sg_ref[0, :] - eye_s)) \
+                    * jnp.float32(inv_f)
+                t_pos = (eye_t + lam * (tg_ref[0, :] - eye_t)) \
+                    * jnp.float32(inv_f)
                 jx = (jax.lax.broadcasted_iota(jnp.int32, (Sn, TX), 1)
                       .astype(jnp.float32) + jnp.float32(0.5)
                       + (xt * TX).astype(jnp.float32))
@@ -455,9 +462,18 @@ def _ao_capture_kernel(*refs,
                       .astype(jnp.float32) + jnp.float32(0.5)
                       + (yt * TY).astype(jnp.float32))
                 wy = jnp.maximum(0.0, 1.0 - jnp.abs(t_pos[:, None] - jy))
+                scales = (ao_scale if isinstance(ao_scale, tuple)
+                          else (ao_scale,) * 4)
+                offs = (ao_offset if isinstance(ao_offset, tuple)
+                        else (ao_offset,) * 4)
                 for c in range(4):
+                    a_c = asl[c]
+                    if scales[c] != 1.0:
+                        a_c = a_c * jnp.float32(scales[c])
+                    if offs[c] != 0.0:
+                        a_c = a_c + jnp.float32(offs[c])
                     tc = jnp.dot(wx.astype(mm_dtype),
-                                 asl[c].astype(mm_dtype),
+                                 a_c.astype(mm_dtype),
                                  preferred_element_type=jnp.float32)
                     Fc = jnp.dot(tc.astype(mm_dtype),
                                  wy.T.astype(mm_dtype),
@@ -520,7 +536,8 @@ def ao_capture_tiled(ao_zcxy: jnp.ndarray,        # (Z, 4, X, Y) baked SH
                      tile: int = 128,
                      interpret: "bool | None" = None,
                      dtype=jnp.bfloat16,
-                     ao_scale: float = 1.0, ao_offset: float = 0.0):
+                     ao_scale=1.0, ao_offset=0.0,
+                     field_downsample: int = 1):
     """Occupancy-gated tiled AO capture; returns sh (4, Sn, Tn) f32.
 
     Equivalent to the flat kernel's in-march AO path
@@ -528,11 +545,21 @@ def ao_capture_tiled(ao_zcxy: jnp.ndarray,        # (Z, 4, X, Y) baked SH
     the dense (Z, 4, X, Y) field - DMA and matmuls run only for slices
     that contain hits and tiles near the surface, and the VMEM footprint
     is two (2, 4, TX, TY) buffers instead of two full (2, 4, X, Y) slabs
-    (which exceed VMEM at 1024^3)."""
+    (which exceed VMEM at 1024^3).
+
+    ``field_downsample`` f > 1: ``ao_zcxy`` is the COARSE
+    (Z/f, 4, X/f, Y/f) field straight from the half-res bake (occlusion
+    is band-limited; the host upsample added no information).  The meta
+    z columns are rewritten to coarse slab indices here and the kernel
+    scales hit positions by 1/f; each coarse tile covers f x f fine
+    tiles, so the surface band crosses ~1/f^2 the pairs per slice and
+    every DMA slab is 1/f^2 the bytes - the pass-2 cost that kept
+    1024^3+AO below the 30 FPS bar (r4_perf_ao1024c.log)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     dtype = jnp.dtype(dtype)
-    Z, C, X, Y = ao_zcxy.shape
+    fd = int(field_downsample)
+    Z2, C, X2, Y2 = ao_zcxy.shape      # field dims (coarse when fd > 1)
     K = meta.shape[0]
 
     def _pick(extent: int) -> int:
@@ -540,13 +567,24 @@ def ao_capture_tiled(ao_zcxy: jnp.ndarray,        # (Z, 4, X, Y) baked SH
             if extent % cand == 0:
                 return cand
         return extent
-    TX, TY = _pick(X), _pick(Y)
-    NTX, NTY = X // TX, Y // TY
+    TX, TY = _pick(X2), _pick(Y2)
+    NTX, NTY = X2 // TX, Y2 // TY
     P = NTX * NTY
 
+    # occupancy runs in FINE voxel space (the brick pyramid's space)
+    # against the fine footprint of each coarse tile
     zfs = meta[:, 2].astype(jnp.int32)
-    occ = _tile_occupancy(brick_max_p, brick_size, zfs, iso, X, Y, TX, TY)
+    occ = _tile_occupancy(brick_max_p, brick_size, zfs, iso,
+                          X2 * fd, Y2 * fd, TX * fd, TY * fd)
     occ = _dilate_tiles(occ) & _slice_has_hit(m_hit, K)[:, None, None]
+    if fd > 1:
+        # rewrite meta z to coarse slab index + lerp weight: fine
+        # cell-centered coordinate zc maps to coarse coordinate zc/f
+        # (coarse voxel j's center sits at fine (j + 0.5) * f)
+        zc2 = meta[:, 0] / fd
+        zf2 = jnp.clip(jnp.floor(zc2 - 0.5), 0, Z2 - 2)
+        fz2 = jnp.clip(zc2 - 0.5 - zf2, 0.0, 1.0)
+        meta = meta.at[:, 2].set(zf2).at[:, 3].set(fz2)
     pairs, counts, ybits = _pair_lists(occ, meta, K, P)
     del ybits  # second factor runs per pair; no column-tile loop
 
@@ -559,7 +597,8 @@ def ao_capture_tiled(ao_zcxy: jnp.ndarray,        # (Z, 4, X, Y) baked SH
         functools.partial(_ao_capture_kernel, Sn=Sn, Tn=Tn,
                           TX=TX, TY=TY, NTY=NTY, P=P, mm_dtype=dtype,
                           packed=False, ao_scale=ao_scale,
-                          ao_offset=ao_offset, quantized=quantized),
+                          ao_offset=ao_offset, quantized=quantized,
+                          inv_f=1.0 / fd),
         grid=(K,),
         in_specs=[
             pl.BlockSpec((1, 1, 8), lambda k: (k, 0, 0),

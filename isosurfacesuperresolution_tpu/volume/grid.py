@@ -69,9 +69,20 @@ class BrickGrid:
     # the bf16 field is 8.6 GB and the renderer's per-axis transpose
     # copy pushed the render compile out of HBM (r4_perf_ao1024b.log);
     # uint8 halves both, with the dequant applied per-slice/tile in the
-    # samplers exactly like value_scale.
-    ao_scale: float = 1.0
-    ao_offset: float = 0.0
+    # samplers exactly like value_scale.  ``ao_scale``/``ao_offset`` may
+    # be scalars (one affine map for all 4 SH channels) or length-4
+    # tuples (per-channel quantization: the directional coefficients
+    # have a much smaller dynamic range than the mean channel, so a
+    # global scale wastes most of the uint8 steps on them).
+    ao_scale: "float | tuple" = 1.0
+    ao_offset: "float | tuple" = 0.0
+    # >1: ``ao_sh`` is stored at 1/f resolution per axis (occlusion is a
+    # hemisphere integral, inherently band-limited; the half-res bake at
+    # 1024^3 was ALREADY the field's true content - the full-res copy
+    # was a host-upsampled blow-up of it).  The tiled capture kernel
+    # samples the coarse field directly (quarter the pass-2 DMA+matmul
+    # work at f=2); non-tiled paths upsample on device at render time.
+    ao_downsample: int = 1
 
     # -- pytree protocol ----------------------------------------------------
     def tree_flatten(self):
@@ -79,13 +90,14 @@ class BrickGrid:
                     self.bbox_min, self.bbox_max, self.ao_sh)
         return children, (self.brick_size, self.value_scale,
                           self.value_offset, self.ao_scale,
-                          self.ao_offset)
+                          self.ao_offset, self.ao_downsample)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children[:5], brick_size=aux[0], ao_sh=children[5],
                    value_scale=aux[1], value_offset=aux[2],
-                   ao_scale=aux[3], ao_offset=aux[4])
+                   ao_scale=aux[3], ao_offset=aux[4],
+                   ao_downsample=aux[5] if len(aux) > 5 else 1)
 
     # -- compact storage -----------------------------------------------------
     def dequant(self, stored: jnp.ndarray) -> jnp.ndarray:

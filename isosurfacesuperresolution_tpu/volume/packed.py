@@ -302,11 +302,22 @@ class SparseBrickGrid:
         ao_per_axis = [] if grid.ao_sh is not None else None
         ao = (np.asarray(grid.ao_sh) if grid.ao_sh is not None else None)
         if ao is not None and ao.dtype == np.uint8:
-            # quantized field (grid.ao_scale/ao_offset): dequantize on
-            # the host before packing - the packed-atlas kernels stream
-            # at their matmul dtype and carry no affine
-            ao = (ao.astype(np.float32) * np.float32(grid.ao_scale)
-                  + np.float32(grid.ao_offset))
+            # quantized field (grid.ao_scale/ao_offset, possibly
+            # per-channel (4,) vectors): dequantize on the host before
+            # packing - the packed-atlas kernels stream at their matmul
+            # dtype and carry no affine
+            ao = (ao.astype(np.float32)
+                  * np.asarray(grid.ao_scale, np.float32)
+                  + np.asarray(grid.ao_offset, np.float32))
+        if ao is not None and grid.ao_downsample > 1:
+            # the packed AO atlas indexes tiles in fine voxel space;
+            # upsample a coarse bake back to full resolution first
+            # (cell-center aligned, matching ao_sweep's host upsample)
+            from isosurfacesuperresolution_tpu.render.ao_sweep import (
+                _upsample1d_linear)
+            ao = ao.astype(np.float32)
+            for axis, n in enumerate(stored.shape):
+                ao = _upsample1d_linear(ao, axis, n, grid.ao_downsample)
         for perm in SWEEP_PERMS:
             vol_p = np.transpose(stored, perm)          # (X', Y', Z')
             vol_zxy = np.ascontiguousarray(

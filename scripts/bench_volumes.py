@@ -89,17 +89,20 @@ def bench_res(res: int, family: str, N: int, sparse: bool = False,
         from isosurfacesuperresolution_tpu.render.ao_sweep import (
             attach_baked_ao)
         tb = time.time()
-        # >512^3: half-res bake + uint8-quantized field - the bf16 field
-        # (8.6 GB at 1024^3) plus the renderer's per-axis transpose copy
-        # exceeded HBM (r4_perf_ao1024b.log); uint8 halves both and the
-        # capture kernel dequantizes per tile
+        # >512^3: half-res bake KEPT at half resolution (the hemisphere
+        # integral is band-limited - the former host upsample added no
+        # information, and the full-res copy's pass-2 capture cost is
+        # what held 1024^3+AO at 15.4 FPS, r4_perf_ao1024c.log) +
+        # uint8-quantized per channel; the tiled capture samples the
+        # coarse field natively at 1/4 the DMA+matmul work
         import numpy as _np
         grid = attach_baked_ao(grid, 0.36, 0.2,
                                downsample=(2 if res > 512 else 1),
+                               keep_coarse=res > 512,
                                out_dtype=(_np.uint8 if res > 512
                                           else jnp.bfloat16))
         print(f"[{res}^3] AO bake {time.time() - tb:.0f}s "
-              f"({'half-res+upsample' if res > 512 else 'full-res'}, "
+              f"({'half-res coarse' if res > 512 else 'full-res'}, "
               f"{grid.ao_sh.dtype} field "
               f"{grid.ao_sh.nbytes / 1e6:.0f} MB)",
               file=sys.stderr)

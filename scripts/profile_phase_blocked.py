@@ -35,11 +35,53 @@ def t(name, step, carry0, n=20, flops=None):
     return dt
 
 
+def parity_check(rng) -> None:
+    """On-chip numerical parity of the REAL Mosaic lowering (round-4
+    advisor: the unit tests run the blocked kernel in interpret mode
+    only, so the actual DMA sequencing at non-128-aligned column
+    origins was exercised only for speed, never for values).  Same
+    construction as tests/test_phase_conv.py::
+    test_phase_conv_blocked_matches_dense but with interpret left at
+    its backend default (False on TPU) and at the real operating point
+    plus an odd-size case."""
+    from isosurfacesuperresolution_tpu.infer.planar import _amajor_cols
+    from isosurfacesuperresolution_tpu.ops.phase_conv import (
+        bmajor_from_amajor_cols)
+    amaj = np.asarray(_amajor_cols(64))
+    bmaj = np.asarray(bmajor_from_amajor_cols())
+    inv_b = np.empty_like(bmaj)
+    inv_b[np.asarray(amaj)[bmaj]] = np.arange(256)
+    for (h, w, th, wb) in ((540, 960, 8, 160), (67, 203, 8, 160)):
+        x_c = jnp.asarray((rng.rand(1, h, w, 256) - 0.5)
+                          .astype(np.float32))
+        k3 = jnp.asarray((rng.rand(3, 3, 64, 64) - 0.5)
+                         .astype(np.float32)) * 0.2
+        bias = jnp.asarray(rng.rand(64).astype(np.float32))
+        ref = np.asarray(planar_tail_conv(x_c, k3, bias, jnp.float32))
+        got_b = phase_conv3x3_amajor_blocked(
+            x_c[..., amaj].astype(jnp.bfloat16), k3, bias, th=th, wb=wb,
+            out_dtype=jnp.float32)
+        got_c = np.asarray(got_b)[..., inv_b]
+        d = np.abs(ref - got_c)
+        corr = np.corrcoef(ref.ravel(), got_c.ravel())[0, 1]
+        ok = d.max() < 0.05 and corr > 0.999
+        print(f"parity {h}x{w} th={th} wb={wb}: max|d|={d.max():.4f} "
+              f"corr={corr:.6f} -> {'OK' if ok else 'FAIL'}", flush=True)
+        if not ok:
+            raise SystemExit("blocked phase kernel PARITY FAILURE on "
+                             "the real Mosaic lowering")
+
+
 def main():
     print(f"devices: {jax.devices()}", file=sys.stderr)
     rng = np.random.RandomState(0)
     bf = jnp.bfloat16
     H, W = 540, 960
+
+    parity_check(rng)
+    if "--parity-only" in sys.argv:
+        print("parity-only run complete", flush=True)
+        return
 
     x = jnp.asarray((rng.rand(1, H, W, 256) - 0.5).astype(np.float32)
                     ).astype(bf)

@@ -189,3 +189,68 @@ def test_upsample1d_factor2_fast_path():
         ref = np.apply_along_axis(
             lambda line: np.interp(pos, np.arange(n), line), axis, a)
         np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_quantize_u8_per_channel_scales():
+    """uint8 AO fields quantize per channel (round-4 advisor): the
+    directional SH coefficients have a much smaller dynamic range than
+    the mean channel, so a single global scale wastes most of their
+    uint8 steps.  The attached affine must be 4-tuples and the
+    per-channel dequant error must stay within half a step per channel."""
+    grid = analytic.blobs_volume(32, num_blobs=4, seed=7)
+    ref = attach_baked_ao(grid, 0.5, 0.15)                # f32 field
+    q = attach_baked_ao(grid, 0.5, 0.15, out_dtype=np.uint8)
+    assert isinstance(q.ao_scale, tuple) and len(q.ao_scale) == 4
+    assert isinstance(q.ao_offset, tuple) and len(q.ao_offset) == 4
+    deq = (np.asarray(q.ao_sh, np.float32)
+           * np.asarray(q.ao_scale, np.float32)
+           + np.asarray(q.ao_offset, np.float32))
+    err = np.abs(deq - np.asarray(ref.ao_sh, np.float32))
+    for c in range(4):
+        assert err[..., c].max() <= 0.5001 * q.ao_scale[c] + 1e-7, c
+    # the g channels' step must be finer than one global step would be
+    g_step = (np.asarray(ref.ao_sh).max()
+              - np.asarray(ref.ao_sh).min()) / 255.0
+    assert max(q.ao_scale[1:]) < g_step
+
+
+def test_keep_coarse_field_renders_like_upsampled():
+    """keep_coarse=True attaches the half-res field itself
+    (ao_downsample=2); the tiled capture samples it natively and every
+    other path upsamples on device.  Both must match the host-upsampled
+    field's render - this is the half-res pass-2 capture that lifts
+    1024^3+AO (PERF.md round-5 item)."""
+    grid = analytic.blobs_volume(64, num_blobs=6, seed=3)
+    up = attach_baked_ao(grid, 0.5, 0.15, downsample=2,
+                         out_dtype=np.uint8)
+    co = attach_baked_ao(grid, 0.5, 0.15, downsample=2, keep_coarse=True,
+                         out_dtype=np.uint8)
+    assert co.ao_downsample == 2
+    assert co.ao_sh.shape[:3] == tuple(s // 2 for s in up.ao_sh.shape[:3])
+
+    cam = CameraParams.create((0.0, 0.9, -1.7))
+    # tiled Pallas path (sweep_tile>0 forces it below the 512 auto
+    # threshold): the kernel samples the coarse field directly
+    cfg_t = RenderConfig(width=32, height=32, isovalue=0.5,
+                         ao_samples=32, ao_mode="volume",
+                         renderer="sweep_pallas", sweep_tile=32,
+                         step_voxels=0.5)
+    fr_up = np.asarray(render_gbuffer_sweep(up, cam, cam, cfg_t))
+    fr_co = np.asarray(render_gbuffer_sweep(co, cam, cam, cfg_t))
+    m = fr_up[..., 3] > 0.5
+    assert m.any()
+    assert np.isfinite(fr_co).all()
+    # same coarse information, one lerp stage apart (pre-upsampled
+    # bilinear-of-linear vs direct coarse bilinear)
+    d = np.abs(fr_up[..., 10] - fr_co[..., 10])[m]
+    assert d.mean() < 0.03, d.mean()
+    assert d.max() < 0.2, d.max()
+
+    # scan path (renderer="sweep"): exercises the on-device upsample
+    # fallback for coarse fields
+    cfg_s = cfg_t.replace(renderer="sweep", sweep_tile=0)
+    fr_up_s = np.asarray(render_gbuffer_sweep(up, cam, cam, cfg_s))
+    fr_co_s = np.asarray(render_gbuffer_sweep(co, cam, cam, cfg_s))
+    m2 = fr_up_s[..., 3] > 0.5
+    d2 = np.abs(fr_up_s[..., 10] - fr_co_s[..., 10])[m2]
+    assert d2.mean() < 0.03, d2.mean()

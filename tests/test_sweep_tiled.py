@@ -109,11 +109,13 @@ def test_tiled_ao_uint8_quantized_field():
     gf = attach_baked_ao(grid0, 0.5, 0.1)
     gq = attach_baked_ao(grid0, 0.5, 0.1, out_dtype=_np.uint8)
     assert str(gq.ao_sh.dtype) == 'uint8'
-    # dequantized field matches to half a quantization step
-    deq = (np.asarray(gq.ao_sh, np.float32) * gq.ao_scale
-           + gq.ao_offset)
+    # dequantized field matches to half a (per-channel) quantization step
+    deq = (np.asarray(gq.ao_sh, np.float32)
+           * np.asarray(gq.ao_scale, np.float32)
+           + np.asarray(gq.ao_offset, np.float32))
     d = np.abs(deq - np.asarray(gf.ao_sh, np.float32))
-    assert d.max() <= gq.ao_scale * 0.5 + 1e-6
+    for c in range(4):
+        assert d[..., c].max() <= gq.ao_scale[c] * 0.5 + 1e-6, c
 
     cam = CameraParams.create((0.2, 0.7, -1.6))
     cfg = RenderConfig(width=32, height=24, isovalue=0.5, ao_samples=16,
@@ -126,7 +128,7 @@ def test_tiled_ao_uint8_quantized_field():
     assert ref[..., 10][both].std() > 1e-3
     d = np.abs(ref[..., 10] - got[..., 10])[both]
     # a few quantization steps through the SH->AO evaluation
-    assert d.max() < 6 * gq.ao_scale, float(d.max())
+    assert d.max() < 6 * max(gq.ao_scale), float(d.max())
 
     # scan renderer consumes the same quantized field (resample_ao_slice
     # affine path)
@@ -135,4 +137,4 @@ def test_tiled_ao_uint8_quantized_field():
     got_s = np.asarray(render_gbuffer_sweep(gq, cam, cam, cfg_scan))
     both = (ref_s[..., 3] > 0.5) & (got_s[..., 3] > 0.5)
     d = np.abs(ref_s[..., 10] - got_s[..., 10])[both]
-    assert d.max() < 6 * gq.ao_scale, float(d.max())
+    assert d.max() < 6 * max(gq.ao_scale), float(d.max())
