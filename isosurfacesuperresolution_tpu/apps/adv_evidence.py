@@ -110,6 +110,18 @@ def main(argv=None):
               "fallback (no pretrained weights in this environment); "
               "random projections still rank gram distances")
 
+    # learned in-domain feature space (losses/learned_features): trained
+    # self-supervised on the repo's own renders so the texture column no
+    # longer depends on fixed-seed random projections (VERDICT r4 item 9)
+    from isosurfacesuperresolution_tpu.losses.learned_features import (
+        TexEncoder, load_texenc_params)
+    texenc_params = load_texenc_params()
+    texenc = TexEncoder() if texenc_params is not None else None
+    if texenc is None:
+        print("note: no committed texenc weights "
+              "(apps.train_texenc writes artifacts/texenc/texenc.npz); "
+              "TexGramLearned column will read 'nan'")
+
     def shade(g):
         return screen_space_shading(g, shading_cfg)
 
@@ -126,7 +138,8 @@ def main(argv=None):
     panels = {"GT": gt_np[panel_idx]}
 
     header = (f"{'model':24s} {'psnr':>7s} {'grad-ratio':>10s} "
-              f"{'hist-L1':>8s} {'tex-pix':>9s} {'tex-vgg':>9s}")
+              f"{'hist-L1':>8s} {'tex-pix':>9s} {'tex-vgg':>9s} "
+              f"{'tex-lrn':>9s}")
     print(header)
     rows = []
     for spec in args.models:
@@ -158,21 +171,29 @@ def main(argv=None):
         key = sorted(fg.keys())[len(fg) // 2]   # a mid-depth layer
         n = gt_shaded.shape[0]
         m_texv = float(texture_loss(fg[key][:n], fg[key][n:]))
+        if texenc is not None:
+            fl = texenc.apply({"params": texenc_params},
+                              jnp.concatenate([gt_shaded, pr_shaded], 0))
+            m_texl = float(texture_loss(fl["conv_3"][:n],
+                                        fl["conv_3"][n:]))
+        else:
+            m_texl = float("nan")
 
         name = (spec if loaded is None
                 else os.path.basename(spec.rstrip("/")))
         print(f"{name:24s} {m_psnr:7.2f} {m_ratio:10.3f} {m_hist:8.4f} "
-              f"{m_texp:9.2e} {m_texv:9.2e}", flush=True)
-        rows.append((name, m_psnr, m_ratio, m_hist, m_texp, m_texv))
+              f"{m_texp:9.2e} {m_texv:9.2e} {m_texl:9.2e}", flush=True)
+        rows.append((name, m_psnr, m_ratio, m_hist, m_texp, m_texv,
+                     m_texl))
         panels[name] = pr_np[panel_idx]
 
     tsv = os.path.join(args.output, "adv_evidence.tsv")
     with open(tsv, "w") as f:
         f.write("Model\tPSNR-color\tGradRatio\tGradHistL1\t"
-                "TexGramPix\tTexGramVGG\n")
+                "TexGramPix\tTexGramVGG\tTexGramLearned\n")
         for r in rows:
             f.write(f"{r[0]}\t{r[1]:.4f}\t{r[2]:.4f}\t{r[3]:.5f}\t"
-                    f"{r[4]:.6e}\t{r[5]:.6e}\n")
+                    f"{r[4]:.6e}\t{r[5]:.6e}\t{r[6]:.6e}\n")
     print("wrote", tsv)
 
     # ---- side-by-side PNG panels (GT | models), nearest-upscaled 4x --
