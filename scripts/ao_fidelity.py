@@ -31,11 +31,19 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--volume", default="/tmp/isosr_vol512/ejecta512.dat")
+    ap.add_argument("--volume", default="/tmp/isosr_vol512/ejecta512.dat",
+                    help=".dat RAW volume or analytic:<name>:<res>")
     ap.add_argument("--res", type=int, default=40)
     ap.add_argument("--isovalue", type=float, default=0.4)
     ap.add_argument("--aoRadius", type=float, default=0.2)
     ap.add_argument("--views", type=int, default=3)
+    ap.add_argument("--downsample", type=int, default=2,
+                    help="bake resolution divisor (2 = the training-"
+                         "data config; 1 = full-res diagnostic)")
+    ap.add_argument("--numDirs", type=int, default=48)
+    ap.add_argument("--numSteps", type=int, default=12)
+    ap.add_argument("--tag", default="ao_fidelity",
+                    help="output file stem (diagnostic variants)")
     ap.add_argument("--output",
                     default="artifacts/quality/ao_fidelity")
     args = ap.parse_args()
@@ -49,17 +57,26 @@ def main():
     from isosurfacesuperresolution_tpu.render.raycast import render_gbuffer
     from isosurfacesuperresolution_tpu.render.sweep import (
         render_gbuffer_sweep)
-    from isosurfacesuperresolution_tpu.volume.importers import import_raw
 
-    grid = import_raw(args.volume)
+    if args.volume.startswith("analytic:"):
+        from isosurfacesuperresolution_tpu.volume import analytic
+        parts = args.volume.split(":")
+        res = int(parts[2]) if len(parts) > 2 else 128
+        grid = getattr(analytic, f"{parts[1]}_volume")(res)
+    else:
+        from isosurfacesuperresolution_tpu.volume.importers import (
+            import_raw)
+        grid = import_raw(args.volume)
     print(f"volume {args.volume}: {grid.values.shape} "
           f"{grid.values.dtype}", flush=True)
 
     t0 = time.time()
     grid_b = attach_baked_ao(grid, args.isovalue, args.aoRadius,
-                             num_dirs=48, downsample=2)
-    print(f"bake (downsample=2, the training-data config): "
-          f"{time.time() - t0:.0f}s", flush=True)
+                             num_dirs=args.numDirs,
+                             num_steps=args.numSteps,
+                             downsample=args.downsample)
+    print(f"bake (downsample={args.downsample}, dirs={args.numDirs}, "
+          f"steps={args.numSteps}): {time.time() - t0:.0f}s", flush=True)
 
     cfg_ray = RenderConfig(width=args.res, height=args.res,
                            isovalue=args.isovalue, step_voxels=0.5,
@@ -97,11 +114,13 @@ def main():
               flush=True)
 
     os.makedirs(args.output, exist_ok=True)
-    out = os.path.join(args.output, "ao_fidelity.tsv")
+    out = os.path.join(args.output, f"{args.tag}.tsv")
     with open(out, "w") as f:
-        f.write("# baked SH-L1 (downsample=2) vs 32-sample hemisphere-"
-                "ray AO on %s, iso %.2f, radius %.2f\n"
-                % (os.path.basename(args.volume), args.isovalue,
+        f.write("# baked SH-L1 (downsample=%d, dirs=%d, steps=%d) vs "
+                "32-sample hemisphere-ray AO on %s, iso %.2f, "
+                "radius %.2f\n"
+                % (args.downsample, args.numDirs, args.numSteps,
+                   os.path.basename(args.volume), args.isovalue,
                    args.aoRadius))
         f.write("view\tn_px\tmeanAbsErr\tmaxAbsErr\tp95AbsErr\t"
                 "occlusionCorr\n")
