@@ -39,6 +39,14 @@ if [ -z "$GDL" ]; then
   GDL=""
 fi
 
+# learned texture-feature encoder (VERDICT item 9): minutes on-chip,
+# and every adv_evidence run after this stage gains the TexGramLearned
+# column from the committed weights
+run_stage b00_texenc 1500 /tmp/r5_texenc.log -- \
+  python -m isosurfacesuperresolution_tpu.apps.train_texenc \
+    --dataset /tmp/isosr_clips_mix4cd --cropSize 32 --samples 800 \
+    --steps 2000 --batchSize 32 --output artifacts/texenc/texenc.npz
+
 run_stage b0_ao_1024_halfres 2700 /tmp/r5_perf_ao1024.log -- \
   python scripts/bench_volumes.py --res 1024 --frames 10 --ao
 
