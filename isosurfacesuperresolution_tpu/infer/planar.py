@@ -316,7 +316,7 @@ def planar_apply(params: Dict, cfg: ModelConfig, net_in: jnp.ndarray
         # conv's kernel rows.  int8 PTQ does not apply to this path -
         # refuse the combination rather than silently benchmarking a
         # mixed configuration (round-4 advisor finding)
-        if q8 is not None:
+        if q8:
             raise ValueError(
                 "planar_phase_tail and planar_int8 are mutually "
                 "exclusive: the Pallas phase kernel has no int8 path, "

@@ -257,3 +257,21 @@ def test_planar_phase_tail_matches_dense():
     assert d.max() < 0.05, d.max()
     corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
     assert corr > 0.999
+
+
+def test_planar_phase_tail_refuses_int8():
+    """planar_phase_tail + planar_int8 must be refused loudly (the phase
+    kernel has no int8 path; a silent mixed configuration would mislabel
+    benchmark A/Bs - round-4 advisor finding), while phase tail alone
+    must keep working (regression: the first guard tested a bool with
+    `is not None` and refused the int8=False path too)."""
+    from isosurfacesuperresolution_tpu.infer.planar import planar_apply
+
+    cfg = ModelConfig(num_residual_blocks=2, compute_dtype="float32",
+                      planar_phase_tail=True, planar_int8=True)
+    model = create_network(cfg)
+    cin = network_input_channels(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, cin)))
+    x = jnp.zeros((1, 12, 12, cin), jnp.float32)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        planar_apply(params, cfg, x)
